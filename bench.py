@@ -1,0 +1,78 @@
+"""Benchmark: per-frame-per-epoch overfit step time on real TPU hardware.
+
+Baseline: the reference overfits at ~0.64 s/frame/epoch on an RTX 3090
+(loot GOP 0-31, epoch-0 train_time 19.7 s / 31 frames; BASELINE.md).  This
+bench overfits a synthetic GOP of loot-like frames (~0.8 M points, 10-bit)
+with the fully jitted epoch trainer and reports steady-state
+seconds/frame/epoch.  vs_baseline > 1 means faster than the reference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+BASELINE_S_PER_FRAME_EPOCH = 0.64  # RTX 3090, loot (BASELINE.md)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from linr_pcgc_tpu.data import synthetic_cloud, PyramidDataset
+    from linr_pcgc_tpu.models import ModelConfig, init_params
+    from linr_pcgc_tpu.runtime import TrainConfig, assemble_gop, adam_init, make_epoch_fn
+    from linr_pcgc_tpu.runtime.overfit import batch_arrays
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", "4"))
+    n_points = int(os.environ.get("BENCH_POINTS", "800000"))
+    frames = [
+        synthetic_cloud(n_points, depth=10, seed=7, phase=0.08 * t)
+        for t in range(n_frames)
+    ]
+    ds = PyramidDataset(frames, handle_dir=None)
+    ds[0]
+    pyrs = [ds[i] for i in range(n_frames)]
+    batch = assemble_gop(pyrs)
+    arrays = batch_arrays(batch)
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    tc = TrainConfig()
+
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt = adam_init(params)
+    epoch_fn = make_epoch_fn(cfg, tc)
+    lr = jnp.asarray(tc.learning_rate, jnp.float32)
+    k = jnp.zeros((), jnp.int32)
+
+    # warmup (compile)
+    params, opt, lr, k, losses = epoch_fn(params, opt, lr, k, arrays)
+    np.asarray(losses)
+
+    n_epochs = int(os.environ.get("BENCH_EPOCHS", "3"))
+    st = time.time()
+    for _ in range(n_epochs):
+        params, opt, lr, k, losses = epoch_fn(params, opt, lr, k, arrays)
+    np.asarray(losses)
+    elapsed = time.time() - st
+    s_per_frame_epoch = elapsed / (n_epochs * n_frames)
+
+    print(
+        json.dumps(
+            {
+                "metric": "overfit_step_time",
+                "value": round(s_per_frame_epoch, 5),
+                "unit": "s/frame/epoch",
+                "vs_baseline": round(BASELINE_S_PER_FRAME_EPOCH / s_per_frame_epoch, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

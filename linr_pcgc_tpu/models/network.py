@@ -1,0 +1,333 @@
+"""The LINR-PCGC occupancy-prediction network, TPU-native.
+
+Functionally equivalent to the reference model (LINR_PCGC_Model + CNP +
+InceptionResNet; /root/reference/models/model_core.py:19-81,
+upsample.py:37-217, resnet.py:7-60) but architected for XLA instead of a
+sparse-tensor engine:
+
+  * Every tensor at a scale lives on ONE fixed, canonically sorted
+    coordinate set (with the default ``instage=1`` the reference's masking /
+    pruning machinery is the identity, and ``ConvWithPrune`` forces output
+    coords = parent coords), so every 3x3x3 "sparse convolution" here is a
+    27-neighbor gather + a dense (N, 27*Cin) x (27*Cin, Cout) matmul driven
+    by a precomputed neighbor-index map.  1x1x1 convolutions are plain
+    matmuls.  The gather map is built once per (frame, scale) and shared by
+    all ~36 convolutions of the forward pass.
+
+  * The per-scale input MLP (scale embedding ++ 7-bit neighbor-occupancy
+    feature -> 8 channels; model_core.py:31-34,46-57) has only 128 possible
+    inputs per scale, so it is evaluated as a (S, 128, 8) lookup table
+    rebuilt from the parameters each step; gradients flow through the table
+    construction.  A per-node row gather replaces N MLP evaluations.
+
+  * All scales of a frame are processed as one flat node array (the CNP
+    weights are scale-shared), so training runs ONE fused XLA program per
+    frame regardless of scale count.
+
+  * The production codec path is stage-staged (`level_context` +
+    `stage_logits`): encoder and decoder run the *same* jitted executables
+    on the same padded shapes, which makes the probability streams
+    bit-identical on both sides by construction — the property the
+    reference gets from running the identical CUDA graph twice
+    (SURVEY.md section 7.3).
+
+Stage semantics (outstage=8, instage=1): stage i predicts P(octant-i child
+exists) for every parent from a context that is the sum of a global feature
+(block_in over the input embedding) and an occupancy-context block over the
+already-known occupancy channels 0..i-1 (upsample.py:183-214).
+
+Parameters are plain nested dicts of float32 arrays (no flax module state):
+the checkpoint *is* part of the bitstream, so a transparent, deterministic
+flattening order (sorted tree paths) is part of the format definition.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+F32 = jnp.float32
+LN2 = math.log(2.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Hyper-parameters; defaults match the reference CLI defaults
+    (main.py:97,218,518-522)."""
+
+    scale_num: int = 7
+    in_channel: int = 7          # 7-neighbor occupancy feature
+    hidden_channel_conv: int = 8
+    hidden_channel_mlp: int = 24
+    embed_dim: int = 8
+    scale_mlp_hidden: int = 16
+    block_layers: int = 1
+    outstage: int = 8
+
+    @property
+    def ch(self) -> int:
+        return self.hidden_channel_conv
+
+
+# ------------------------------------------------------------------ init --
+
+
+def _linear_init(key, din, dout):
+    """Torch nn.Linear + xavier_uniform(gain=relu) + zero bias
+    (module_utils.py:42-56)."""
+    gain = math.sqrt(2.0)
+    bound = gain * math.sqrt(6.0 / (din + dout))
+    w = jax.random.uniform(key, (din, dout), F32, -bound, bound)
+    return {"w": w, "b": jnp.zeros((dout,), F32)}
+
+
+def _conv_init(key, kvol, cin, cout):
+    """MinkowskiConvolution default init: U(-s, s), s = 1/sqrt(cin*kvol),
+    for both kernel and bias."""
+    s = 1.0 / math.sqrt(cin * kvol)
+    kw, kb = jax.random.split(key)
+    shape = (kvol, cin, cout) if kvol > 1 else (cin, cout)
+    return {
+        "w": jax.random.uniform(kw, shape, F32, -s, s),
+        "b": jax.random.uniform(kb, (cout,), F32, -s, s),
+    }
+
+
+def _irn_init(key, ch):
+    """InceptionResNet block (resnet.py:7-60): two paths, channels halved."""
+    h = ch // 2
+    ks = jax.random.split(key, 5)
+    return {
+        "c00": _conv_init(ks[0], 27, ch, h),
+        "c01": _conv_init(ks[1], 27, h, h),
+        "c10": _conv_init(ks[2], 1, ch, h),
+        "c11": _conv_init(ks[3], 27, h, h),
+        "c12": _conv_init(ks[4], 1, h, h),
+    }
+
+
+def _block_init(key, cin, ch, cout):
+    """make_block (upsample.py:88-97): conv3 -> relu -> IRN -> conv3."""
+    k0, k1, k2 = jax.random.split(key, 3)
+    return {
+        "conv_in": _conv_init(k0, 27, cin, ch),
+        "irn": _irn_init(k1, ch),
+        "conv_out": _conv_init(k2, 27, ch, cout),
+    }
+
+
+def init_params(key, cfg: ModelConfig):
+    S, ch, emb = cfg.scale_num, cfg.ch, cfg.embed_dim
+    keys = jax.random.split(key, 8)
+
+    def stack_init(k, fn, n):
+        return jax.vmap(fn)(jax.random.split(k, n))
+
+    scale_mlp = {
+        "l0": stack_init(
+            keys[1],
+            lambda k: _linear_init(k, emb + cfg.in_channel, cfg.scale_mlp_hidden),
+            S,
+        ),
+        "l1": stack_init(
+            keys[2], lambda k: _linear_init(k, cfg.scale_mlp_hidden, ch), S
+        ),
+    }
+    prune = stack_init(keys[4], lambda k: _conv_init(k, 27, ch, ch), cfg.outstage)
+    inner_mlp = {
+        "l0": stack_init(
+            keys[5], lambda k: _linear_init(k, ch, cfg.hidden_channel_mlp), cfg.outstage
+        ),
+        "l1": stack_init(
+            keys[6], lambda k: _linear_init(k, cfg.hidden_channel_mlp, 1), cfg.outstage
+        ),
+    }
+    outer_keys = jax.random.split(keys[7], cfg.outstage - 1)
+    outer = [
+        _block_init(outer_keys[i], i + 1, ch, ch) for i in range(cfg.outstage - 1)
+    ]
+    return {
+        "scale_emb": jax.random.normal(keys[0], (S, emb), F32),  # torch default
+        "scale_mlp": scale_mlp,
+        "block_in": _block_init(keys[3], ch, ch, ch),
+        "prune": prune,
+        "inner_mlp": inner_mlp,
+        "outer": outer,
+    }
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def flatten_params(params) -> jnp.ndarray:
+    """Deterministic 1-D view of all parameters (sorted tree-path order).
+
+    This order is part of the weight-bitstream format: the quantized model
+    is serialized/deserialized through it (cf. the reference's
+    torch-parameters() flattening, model_size_est.py:391).
+    """
+    leaves = jax.tree_util.tree_leaves(params)  # deterministic key order
+    return jnp.concatenate([leaf.reshape(-1) for leaf in leaves])
+
+
+def unflatten_params(params_like, flat):
+    leaves, treedef = jax.tree_util.tree_flatten(params_like)
+    out, pos = [], 0
+    for leaf in leaves:
+        n = int(np.prod(leaf.shape))
+        out.append(jnp.asarray(flat[pos: pos + n], F32).reshape(leaf.shape))
+        pos += n
+    assert pos == len(flat), (pos, len(flat))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+# --------------------------------------------------------------- applies --
+
+
+def _relu(x):
+    return jnp.maximum(x, 0.0)
+
+
+# Full-f32 matmuls: on TPU the default precision is bf16 inputs, which is
+# too coarse for probability modelling at 54k parameters (and the channel
+# counts are tiny, so the extra MXU passes are cheap next to the gathers).
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _conv1(x, p):
+    return jnp.dot(x, p["w"], precision=_PREC, preferred_element_type=F32) + p["b"]
+
+
+def _conv3(x, nbr27, p):
+    """3x3x3 submanifold conv: gather 27 neighbor rows, one dense matmul.
+
+    ``nbr27`` is the (N, 27) index map (-1 = neighbor absent -> zero row).
+    """
+    n = x.shape[0]
+    # -1 marks an absent neighbor; JAX wraps negative indices even in fill
+    # mode, so remap to n (out of bounds high) which fill-gathers zeros.
+    idx = jnp.where(nbr27 < 0, n, nbr27).reshape(-1)
+    g = jnp.take(x, idx, axis=0, mode="fill", fill_value=0.0)
+    g = g.reshape(n, -1)  # (N, 27*Cin)
+    w = p["w"].reshape(-1, p["w"].shape[-1])
+    return jnp.dot(g, w, precision=_PREC, preferred_element_type=F32) + p["b"]
+
+
+def _irn(x, nbr27, p):
+    out0 = _conv3(_relu(_conv3(x, nbr27, p["c00"])), nbr27, p["c01"])
+    out1 = _conv1(_relu(_conv3(_relu(_conv1(x, p["c10"])), nbr27, p["c11"])), p["c12"])
+    return jnp.concatenate([out0, out1], axis=-1) + x
+
+
+def _block(x, nbr27, p):
+    y = _relu(_conv3(x, nbr27, p["conv_in"]))
+    y = _irn(y, nbr27, p["irn"])
+    return _conv3(y, nbr27, p["conv_out"])
+
+
+def _mlp2(x, l0, l1):
+    return _conv1(_relu(_conv1(x, l0)), l1)
+
+
+def scale_input_lut(params, cfg: ModelConfig):
+    """(S, 128, ch) table of the per-scale input MLP over all 7-bit
+    neighbor-feature codes (equivalent to model_core.py:46-57 evaluated on
+    every possible input)."""
+    codes = jnp.arange(128, dtype=jnp.int32)
+    bits = ((codes[:, None] >> jnp.arange(7, dtype=jnp.int32)[None, :]) & 1).astype(F32)
+
+    def per_scale(emb_s, l0, l1):
+        x = jnp.concatenate(
+            [jnp.broadcast_to(emb_s, (128, emb_s.shape[0])), bits], axis=-1
+        )
+        return _mlp2(x, l0, l1)
+
+    return jax.vmap(per_scale)(
+        params["scale_emb"], params["scale_mlp"]["l0"], params["scale_mlp"]["l1"]
+    )
+
+
+def _stage_context(params, x_glob, occ_known, nbr27, stage: int):
+    """Context fed to stage ``stage``: x_glob (+ occupancy-context block
+    over channels 0..stage-1 for stage >= 1; upsample.py:204-214)."""
+    if stage == 0:
+        return x_glob
+    return x_glob + _block(occ_known, nbr27, params["outer"][stage - 1])
+
+
+def _stage_head(params, ctx, nbr27, stage: int):
+    """Per-stage head: prune conv then the [ch -> 24 -> 1] MLP
+    (upsample.py:137-161); returns logits (N,)."""
+    h = _conv3(ctx, nbr27, {"w": params["prune"]["w"][stage], "b": params["prune"]["b"][stage]})
+    l0 = {"w": params["inner_mlp"]["l0"]["w"][stage], "b": params["inner_mlp"]["l0"]["b"][stage]}
+    l1 = {"w": params["inner_mlp"]["l1"]["w"][stage], "b": params["inner_mlp"]["l1"]["b"][stage]}
+    return _mlp2(h, l0, l1)[:, 0]
+
+
+def forward_all_stages(params, cfg: ModelConfig, scale_id, feat_code, nbr27, occ):
+    """Training-path forward over a flat multi-scale node array.
+
+    Args:
+      scale_id:  (N,) int32 scale index per node.
+      feat_code: (N,) int32 packed 7-neighbor occupancy feature.
+      nbr27:     (N, 27) int32 neighbor map (-1 absent; pad rows all -1).
+      occ:       (N, 8) float32 ground-truth occupancy bits.
+
+    Returns logits (N, 8).
+    """
+    lut = scale_input_lut(params, cfg)  # (S, 128, ch)
+    flat_lut = lut.reshape(-1, lut.shape[-1])
+    intensor = jnp.take(flat_lut, scale_id * 128 + feat_code, axis=0)
+
+    x_glob = _block(intensor, nbr27, params["block_in"])
+    logits = []
+    for i in range(cfg.outstage):
+        ctx = _stage_context(params, x_glob, occ[:, :i], nbr27, i)
+        logits.append(_stage_head(params, ctx, nbr27, i))
+    return jnp.stack(logits, axis=-1)  # (N, 8)
+
+
+def training_bits(params, cfg: ModelConfig, scale_id, feat_code, nbr27, occ, mask):
+    """Total code-length estimate in bits over valid nodes: the sum-BCE/ln2
+    loss of the reference (model_core.py:77-80), numerically stabilized via
+    logits."""
+    logits = forward_all_stages(params, cfg, scale_id, feat_code, nbr27, occ)
+    # stable sigmoid BCE: max(l,0) - l*y + log1p(exp(-|l|))
+    bce = jnp.maximum(logits, 0.0) - logits * occ + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    bce = jnp.where(mask[:, None], bce, 0.0)
+    return jnp.sum(bce) / LN2
+
+
+# ------------------------------------------------------------ codec path --
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def level_context(params, cfg: ModelConfig, scale_idx, feat_code, nbr27):
+    """Per-level global context for the production codec.
+
+    ``scale_idx`` is a traced scalar; encoder and decoder call this with the
+    same padded shapes so the executable (and hence the f32 bits of the
+    output) is identical on both sides.
+    """
+    lut = scale_input_lut(params, cfg)
+    intensor = jnp.take(lut[:, :, :].reshape(-1, lut.shape[-1]),
+                        scale_idx * 128 + feat_code, axis=0)
+    return _block(intensor, nbr27, params["block_in"])
+
+
+@partial(jax.jit, static_argnames=("cfg", "stage"))
+def stage_logits(params, cfg: ModelConfig, stage: int, x_glob, occ_known, nbr27):
+    """Stage-``stage`` occupancy logits given known channels 0..stage-1.
+
+    ``occ_known`` must have static shape (N, stage) (empty for stage 0).
+    Used identically by encoder (with ground-truth bits) and decoder (with
+    arithmetic-decoded bits).
+    """
+    ctx = _stage_context(params, x_glob, occ_known, nbr27, stage)
+    return _stage_head(params, ctx, nbr27, stage)

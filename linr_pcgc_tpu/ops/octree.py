@@ -1,0 +1,151 @@
+"""Octree level ops, vectorized for XLA: down/up, neighbor features/maps.
+
+Semantics mirror the reference octree (see /root/reference/models/
+module_utils.py:86-154 ``octree_level`` and /root/reference/datautils/
+custom_dataset.py:259-344 preprocessing), re-expressed as sorts, segment
+scatters and batched sorted searches instead of per-octant Python loops:
+
+  * parent of child c is floor(c / 2); parents are deduped and kept in
+    canonical (lexicographic) order;
+  * octant index of a child is ``4*(x&1) + 2*(y&1) + (z&1)`` — matching the
+    reference's offset enumeration order (module_utils.py:93);
+  * occupancy of a parent is the 8-bit indicator of which octants exist;
+  * upsampling emits, per parent, the occupied children ``2*p + offset`` and
+    re-sorts them canonically (module_utils.py:117-127);
+  * the 7-dim neighbor feature of a node is the occupancy of
+    [self, -x, +x, -y, +y, -z, +z] (glob_params.py:3), packed here into a
+    7-bit integer code (bit k = offset k) since each entry is binary;
+  * the 27-neighbor index map drives every 3x3x3 submanifold convolution:
+    for node i and offset o, ``nbr27[i, o]`` is the row of coords+offset, or
+    -1 when absent.  This map is built once per (frame, scale) and reused by
+    every conv in the network — the key structural win over the reference,
+    whose C++ engine rebuilds kernel maps per convolution.
+
+All functions take canonically sorted, pad-tailed coordinate arrays and are
+jit-compatible with static shapes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .coords import KEY_PAD, coord_key, key_to_coord, sort_rows_by_key, lookup
+
+# Octant offset table: index o -> (o>>2 & 1, o>>1 & 1, o & 1).  Same order as
+# the reference's nested i/j/k loop (module_utils.py:93).
+OCTANT_OFFSETS = np.array(
+    [[i, j, k] for i in range(2) for j in range(2) for k in range(2)],
+    dtype=np.int32,
+)
+
+# 7-neighbor offsets in reference order (glob_params.py:3-4).
+NEIGHBOR_OFFSETS_7 = np.array(
+    [[0, 0, 0], [-1, 0, 0], [1, 0, 0], [0, -1, 0], [0, 1, 0], [0, 0, -1], [0, 0, 1]],
+    dtype=np.int32,
+)
+
+# 3x3x3 convolution offsets, lexicographic in (dx, dy, dz).  This order is
+# this framework's kernel-weight layout convention (axis 0 of every k3
+# kernel); it need not match MinkowskiEngine's internal enumeration because
+# our bitstreams carry our own weight layout.
+CONV_OFFSETS_27 = np.array(
+    [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+    dtype=np.int32,
+)
+
+
+def octree_down(coords: jax.Array, keys: jax.Array, out_size: int):
+    """One octree downsampling step.
+
+    Args:
+      coords: (N, 3) int32, canonically sorted with pad tail (pad rows have
+        ``keys == KEY_PAD``).
+      keys: (N,) int64 canonical keys of ``coords``.
+      out_size: static output capacity for parents (must be >= #parents).
+
+    Returns:
+      parent_coords: (out_size, 3) int32 canonical-sorted, pad-tailed.
+      parent_keys:   (out_size,) int64 (KEY_PAD on pad rows).
+      occupancy:     (out_size, 8) int32 in {0, 1}.
+      n_parent:      scalar int32 count of valid parents.
+    """
+    valid = keys != KEY_PAD
+    parent_of_child = coords >> 1
+    octant = (
+        ((coords[:, 0] & 1) << 2) | ((coords[:, 1] & 1) << 1) | (coords[:, 2] & 1)
+    ).astype(jnp.int32)
+
+    pkey = coord_key(parent_of_child, valid)
+    # The lexicographic key is NOT hierarchical (unlike Morton order): the
+    # per-axis floor-div-2 does not preserve tuple order, e.g. child (0,3,0)
+    # sorts before (1,0,0) but their parents (0,1,0) / (0,0,0) reverse.  So
+    # children must be re-sorted by parent key before deduplication.
+    pkey, octant = sort_rows_by_key(pkey, octant)
+    prev = jnp.concatenate([jnp.full((1,), -1, pkey.dtype), pkey[:-1]])
+    is_first = valid & (pkey != prev)
+    n_parent = jnp.sum(is_first.astype(jnp.int32))
+
+    # Segment id of each child = rank of its parent.
+    seg = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    seg = jnp.where(valid, seg, out_size)  # dropped by scatter mode below
+
+    occupancy = jnp.zeros((out_size, 8), jnp.int32)
+    occupancy = occupancy.at[seg, octant].set(1, mode="drop")
+
+    # Compact first-occurrence parents into the output buffer; recover their
+    # coordinates from the key (cheaper than carrying rows through the sort).
+    dst = jnp.where(is_first, seg, out_size)
+    parent_keys = jnp.full((out_size,), KEY_PAD, jnp.int64)
+    parent_keys = parent_keys.at[dst].set(pkey, mode="drop")
+    parent_coords = jnp.where(
+        (parent_keys != KEY_PAD)[:, None], key_to_coord(parent_keys), 0
+    )
+    return parent_coords, parent_keys, occupancy, n_parent
+
+
+def octree_up(parent_coords: jax.Array, parent_keys: jax.Array, occupancy: jax.Array):
+    """Occupancy -> canonically sorted child coordinates.
+
+    Returns ``(children, child_keys, n_child)`` where ``children`` has shape
+    (8 * P, 3) with valid rows compacted to the front in canonical order.
+    """
+    p = parent_coords.shape[0]
+    valid = (parent_keys != KEY_PAD)[:, None] & (occupancy > 0)
+    offsets = jnp.asarray(OCTANT_OFFSETS)
+    children = (parent_coords[:, None, :] * 2 + offsets[None, :, :]).reshape(8 * p, 3)
+    ckey = coord_key(children, valid.reshape(8 * p))
+    child_keys, children = sort_rows_by_key(ckey, children)
+    n_child = jnp.sum(valid.astype(jnp.int32))
+    return children, child_keys, n_child
+
+
+def neighbor_feature_code(coords: jax.Array, keys: jax.Array) -> jax.Array:
+    """Pack the 7-neighbor occupancy feature into a 7-bit code per node.
+
+    Bit k corresponds to NEIGHBOR_OFFSETS_7[k] (bit 0 = self, always set for
+    valid nodes).  Pad rows get code 0.
+    """
+    n = coords.shape[0]
+    valid = keys != KEY_PAD
+    offsets = jnp.asarray(NEIGHBOR_OFFSETS_7)  # (7, 3)
+    q = coords[:, None, :] + offsets[None, :, :]  # (N, 7, 3)
+    qkey = coord_key(q.reshape(-1, 3), jnp.repeat(valid, 7)).reshape(n, 7)
+    found = lookup(keys, qkey) >= 0  # (N, 7)
+    bits = jnp.asarray([1 << k for k in range(7)], jnp.int32)
+    return jnp.sum(found.astype(jnp.int32) * bits[None, :], axis=1)
+
+
+def neighbor_map_27(coords: jax.Array, keys: jax.Array) -> jax.Array:
+    """(N, 27) int32 gather map for 3x3x3 submanifold convolutions.
+
+    Entry [i, o] is the row index of ``coords[i] + CONV_OFFSETS_27[o]`` in
+    ``coords``, or -1 if that voxel is absent.  Pad rows map to all -1.
+    """
+    n = coords.shape[0]
+    valid = keys != KEY_PAD
+    offsets = jnp.asarray(CONV_OFFSETS_27)  # (27, 3)
+    q = coords[:, None, :] + offsets[None, :, :]  # (N, 27, 3)
+    qkey = coord_key(q.reshape(-1, 3), jnp.repeat(valid, 27)).reshape(n, 27)
+    return lookup(keys, qkey)

@@ -1,0 +1,29 @@
+"""Device-mesh construction for frame-parallel overfitting.
+
+The reference has no parallelism at all (single process, single GPU;
+SURVEY.md section 2.4).  This framework introduces two levels:
+
+  * within a GOP: frames are data-parallel across chips on a 1-D ``dp``
+    mesh axis; gradient reduction is a ``psum`` that XLA lays onto ICI;
+  * across GOPs/sequences: independent overfit jobs (embarrassingly
+    parallel over hosts/DCN — no cross-host collectives needed), driven by
+    launching one process per sequence.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "dp") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} devices, only {len(devices)} available"
+            )
+        devices = devices[:n_devices]
+    import numpy as np
+
+    return Mesh(np.array(devices), (axis_name,))

@@ -1,0 +1,404 @@
+"""Per-GOP overfitting engine: the reference's training loop as ONE XLA
+program per epoch.
+
+The reference runs, per epoch, a Python loop over frames with a separate
+forward/backward/Adam-step/LR-step per frame plus a cache-emptying host
+sync (main.py:305-322).  Here the whole epoch — all frames, gradients,
+Adam updates and the LR schedule — is a single jitted ``lax.scan`` over a
+stacked GOP batch that lives in HBM, so an epoch costs zero host round
+trips.
+
+Optimization semantics match torch exactly (parity mode):
+  * Adam(lr, betas=(0.9, 0.999), eps=1e-8) with *coupled* weight decay
+    (gradient += wd * param, torch's default, main.py:231-237);
+  * loss per frame = sum-scale BCE bits / point_num (main.py:314-315);
+  * one optimizer step PER FRAME; StepLR: lr *= gamma every ``step_size``
+    steps (main.py:321); min_lr clamp once per epoch *after* the frame
+    loop (main.py:433-437);
+  * warm start: later GOPs load GOP 0's params AND Adam state (m, v, step
+    count) and its final lr; the schedule counter resets per GOP
+    (main.py:241-252).
+
+Frame-parallel training across TPU chips lives in
+``linr_pcgc_tpu.parallel.train`` (same loss, mean-gradient semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data.dataset import FramePyramid, bucket_size, level_arrays_from_coords
+from ..models import ModelConfig, init_params, training_bits, flatten_params, unflatten_params
+
+F32 = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Hyper-parameters; defaults mirror the reference CLI
+    (main.py:482-494)."""
+
+    learning_rate: float = 0.01
+    gamma: float = 0.992
+    min_lr: float = 4e-4
+    weight_decay: float = 1e-4
+    step_size: int = 32
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-8
+
+
+# ------------------------------------------------------------- GOP batch --
+
+
+@dataclasses.dataclass
+class GopBatch:
+    """Stacked flat node arrays for a GOP: leading axis = frame."""
+
+    scale_id: jax.Array   # (F, N) int32
+    feat_code: jax.Array  # (F, N) int32
+    nbr27: jax.Array      # (F, N, 27) int32, flat-global indices, -1 absent
+    occ: jax.Array        # (F, N, 8) uint8
+    mask: jax.Array       # (F, N) bool
+    point_num: jax.Array  # (F,) float32
+    level_buckets: list   # shared per-level bucket sizes
+    level_offsets: list   # start offset of each level in the flat axis
+
+    @property
+    def n_frames(self) -> int:
+        return self.scale_id.shape[0]
+
+    def frame_slice(self, f: int):
+        return dict(
+            scale_id=self.scale_id[f],
+            feat_code=self.feat_code[f],
+            nbr27=self.nbr27[f],
+            occ=self.occ[f],
+            mask=self.mask[f],
+            point_num=self.point_num[f],
+        )
+
+
+def assemble_gop(pyramids: list[FramePyramid]) -> GopBatch:
+    """Pad every frame's levels to shared buckets and build the flat,
+    stacked training batch (neighbor maps are rebuilt on device)."""
+    S = pyramids[0].scale_num
+    assert all(p.scale_num == S for p in pyramids), "frames disagree on scale_num"
+    level_buckets = [
+        bucket_size(max(p.levels[s].n for p in pyramids)) for s in range(S)
+    ]
+    level_offsets = list(np.cumsum([0] + level_buckets[:-1]))
+    n_flat = int(sum(level_buckets))
+
+    f_scale, f_code, f_nbr, f_occ, f_mask = [], [], [], [], []
+    for pyr in pyramids:
+        parts_nbr = []
+        scale_id = np.zeros(n_flat, np.int32)
+        code = np.zeros(n_flat, np.int32)
+        occ = np.zeros((n_flat, 8), np.uint8)
+        mask = np.zeros(n_flat, bool)
+        for s, lev in enumerate(pyr.levels):
+            b, off = level_buckets[s], level_offsets[s]
+            coords = np.zeros((b, 3), np.int32)
+            coords[: lev.n] = lev.coords[: lev.n]
+            _, _, _, nbr = level_arrays_from_coords(coords, lev.n)
+            parts_nbr.append(jnp.where(nbr >= 0, nbr + off, -1))
+            scale_id[off: off + b] = s
+            code[off: off + lev.n] = lev.feat_code[: lev.n]
+            occ[off: off + lev.n] = lev.occ[: lev.n]
+            mask[off: off + lev.n] = True
+        f_nbr.append(jnp.concatenate(parts_nbr, axis=0))
+        f_scale.append(scale_id)
+        f_code.append(code)
+        f_occ.append(occ)
+        f_mask.append(mask)
+
+    return GopBatch(
+        scale_id=jnp.asarray(np.stack(f_scale)),
+        feat_code=jnp.asarray(np.stack(f_code)),
+        nbr27=jnp.stack(f_nbr),
+        occ=jnp.asarray(np.stack(f_occ)),
+        mask=jnp.asarray(np.stack(f_mask)),
+        point_num=jnp.asarray(
+            np.array([p.point_num for p in pyramids], np.float32)
+        ),
+        level_buckets=level_buckets,
+        level_offsets=level_offsets,
+    )
+
+
+# ------------------------------------------------------------ optimizer --
+
+
+def adam_init(params):
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    return {
+        "m": zeros,
+        "v": jax.tree_util.tree_map(jnp.zeros_like, params),
+        "t": jnp.zeros((), jnp.int32),
+    }
+
+
+def frame_loss(params, cfg: ModelConfig, fd: dict):
+    bits = training_bits(
+        params,
+        cfg,
+        fd["scale_id"],
+        fd["feat_code"],
+        fd["nbr27"],
+        fd["occ"].astype(F32),
+        fd["mask"],
+    )
+    return bits / fd["point_num"]
+
+
+def adam_frame_update(params, opt, lr, grads, tc: TrainConfig):
+    """One torch-semantics Adam step (coupled weight decay, bias-corrected
+    first/second moments, eps outside the sqrt's bias correction)."""
+    g = jax.tree_util.tree_map(
+        lambda gi, pi: gi + tc.weight_decay * pi, grads, params
+    )
+    t = opt["t"] + 1
+    tf = t.astype(F32)
+    m = jax.tree_util.tree_map(
+        lambda mi, gi: tc.beta1 * mi + (1 - tc.beta1) * gi, opt["m"], g
+    )
+    v = jax.tree_util.tree_map(
+        lambda vi, gi: tc.beta2 * vi + (1 - tc.beta2) * gi * gi, opt["v"], g
+    )
+    bc1 = 1.0 - tc.beta1**tf
+    bc2 = 1.0 - tc.beta2**tf
+    new_params = jax.tree_util.tree_map(
+        lambda pi, mi, vi: pi - lr * (mi / bc1) / (jnp.sqrt(vi / bc2) + tc.eps),
+        params,
+        m,
+        v,
+    )
+    return new_params, {"m": m, "v": v, "t": t}
+
+
+def make_epoch_fn(cfg: ModelConfig, tc: TrainConfig):
+    """Jitted full-epoch trainer: scan over frames, per-frame Adam step and
+    LR-schedule step, min_lr clamp at epoch end.  Returns
+    (params, opt, lr, sched_count, per-frame losses)."""
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def epoch_fn(params, opt, lr, sched_count, batch_arrays):
+        def body(carry, fd):
+            params, opt, lr, k = carry
+            loss, grads = jax.value_and_grad(frame_loss)(params, cfg, fd)
+            params, opt = adam_frame_update(params, opt, lr, grads, tc)
+            k = k + 1
+            lr = jnp.where(k % tc.step_size == 0, lr * tc.gamma, lr)
+            return (params, opt, lr, k), loss
+
+        (params, opt, lr, k), losses = jax.lax.scan(
+            body, (params, opt, lr, sched_count), batch_arrays
+        )
+        lr = jnp.maximum(lr, tc.min_lr)
+        return params, opt, lr, k, losses
+
+    return epoch_fn
+
+
+def batch_arrays(batch: GopBatch) -> dict:
+    return dict(
+        scale_id=batch.scale_id,
+        feat_code=batch.feat_code,
+        nbr27=batch.nbr27,
+        occ=batch.occ,
+        mask=batch.mask,
+        point_num=batch.point_num,
+    )
+
+
+# ----------------------------------------------------------- checkpoints --
+
+
+def save_checkpoint(path: str, params, opt, lr: float, epoch: int, loss: float,
+                    bitdepth: int) -> None:
+    """Flat-npz checkpoint: params + Adam moments + step + lr + metadata.
+    The checkpoint is part of the codec (its quantized form becomes the
+    weight bitstream), hence the transparent format."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = {
+        "params": np.asarray(flatten_params(params)),
+        "m": np.asarray(flatten_params(opt["m"])),
+        "v": np.asarray(flatten_params(opt["v"])),
+        "t": np.int64(int(opt["t"])),
+        "lr": np.float64(lr),
+        "epoch": np.int64(epoch),
+        "loss": np.float64(loss),
+        "bitdepth": np.int64(bitdepth),
+    }
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        np.savez(f, **payload)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, params_like):
+    with np.load(path) as z:
+        params = unflatten_params(params_like, jnp.asarray(z["params"]))
+        opt = {
+            "m": unflatten_params(params_like, jnp.asarray(z["m"])),
+            "v": unflatten_params(params_like, jnp.asarray(z["v"])),
+            "t": jnp.asarray(np.int32(z["t"])),
+        }
+        meta = {
+            "lr": float(z["lr"]),
+            "epoch": int(z["epoch"]),
+            "loss": float(z["loss"]),
+            "bitdepth": int(z["bitdepth"]),
+        }
+    return params, opt, meta
+
+
+# ---------------------------------------------------------- GOP overfit --
+
+
+def overfit_gop(
+    dataset,
+    group_range,
+    epoch_num: int,
+    cfg: ModelConfig,
+    tc: TrainConfig,
+    result_dir: str,
+    warm_start_path: str | None = None,
+    seed: int = 8807,
+    bitdepth: int = 8,
+    mid_test: bool = False,
+    check_freq: int = 5,
+    write_pth: bool = True,
+    write_real_bitstream: bool = False,
+    handle_dir: str | None = None,
+    low_bytes: bytes | None = None,
+    logger=None,
+) -> str:
+    """Overfit one GOP; mirrors reference ``overfit_one_gop``
+    (main.py:122-452).  Returns the checkpoint path."""
+    from .codec import encode_low_all_frames  # local import to avoid cycle
+    from .evaluate import test_one_gop
+
+    log = logger.info if logger is not None else print
+    gop_flag = f"gop_{group_range[0]}_{group_range[-1]}"
+    gop_dir = os.path.join(result_dir, gop_flag)
+    os.makedirs(gop_dir, exist_ok=True)
+    model_path = os.path.join(gop_dir, "model.npz")
+
+    pyramids = [dataset[i] for i in group_range]
+    gop_size = len(pyramids)
+    point_total = sum(p.point_num for p in pyramids)
+
+    # Base-layer pre-pass with on-disk reuse (main.py:162-216).
+    if low_bytes is None:
+        buffer_dir = handle_dir or gop_dir
+        os.makedirs(buffer_dir, exist_ok=True)
+        xyzlow_path = os.path.join(buffer_dir, f"{gop_flag}_xyzlow.bin")
+        if os.path.exists(xyzlow_path):
+            with open(xyzlow_path, "rb") as f:
+                low_bytes = f.read()
+        else:
+            low_bytes = encode_low_all_frames(pyramids)
+            with open(xyzlow_path, "wb") as f:
+                f.write(low_bytes)
+    xyzlow_bpp = len(low_bytes) / point_total
+
+    batch = assemble_gop(pyramids)
+    arrays = batch_arrays(batch)
+
+    params = init_params(jax.random.PRNGKey(seed), cfg)
+    opt = adam_init(params)
+    lr = tc.learning_rate
+    if warm_start_path is not None and os.path.isfile(warm_start_path):
+        params, opt, meta = load_checkpoint(warm_start_path, params)
+        lr = meta["lr"]
+        log(f"warm start from {warm_start_path} (lr={lr:.6f})")
+
+    epoch_fn = make_epoch_fn(cfg, tc)
+    lr_arr = jnp.asarray(lr, F32)
+    sched_count = jnp.zeros((), jnp.int32)
+
+    best_loss = float("inf")
+    results = []
+    train_time = 0.0
+    loss_mean = float("nan")
+    for epoch in range(epoch_num):
+        st = time.time()
+        params, opt, lr_arr, sched_count, losses = epoch_fn(
+            params, opt, lr_arr, sched_count, arrays
+        )
+        losses = np.asarray(losses)
+        train_time += time.time() - st
+        loss_mean = float(losses.mean())
+        log(f"epoch: {epoch}")
+        log(f"loss: {loss_mean}")
+        log(f"train_time: {train_time}")
+        log(f"train_time_avg: {train_time / gop_size}")
+        entry = {
+            "epoch": epoch,
+            "loss": loss_mean,
+            "train_time": train_time,
+            "train_time_avg": train_time / gop_size,
+        }
+
+        if mid_test and (epoch < 10 or epoch % check_freq == 0):
+            save_checkpoint(
+                model_path, params, opt, float(lr_arr), epoch, best_loss, bitdepth
+            )
+            write_bits = write_real_bitstream and epoch % 50 == 0
+            test_out = test_one_gop(
+                model_path=model_path,
+                cfg=cfg,
+                pyramids=pyramids,
+                result_dir=os.path.join(gop_dir, str(epoch)),
+                write_flag=write_bits,
+                low_bytes=low_bytes,
+            )
+            entry.update(
+                real_bpp_all=test_out["bpp_all"],
+                real_point_bpp=test_out["point_bpp"],
+                point_bpp_val=test_out["point_bpp_val"],
+                model_bpp=test_out["model_bpp"],
+                xyzlow_bpp=xyzlow_bpp,
+                enc_time=test_out["enc_time"],
+                dec_time=test_out["dec_time"],
+                enc_mode=test_out["enc_mode"],
+                model_bitdepth_final=bitdepth,
+            )
+            for k in (
+                "real_bpp_all",
+                "real_point_bpp",
+                "model_bpp",
+                "enc_time",
+                "dec_time",
+            ):
+                log(f"{k}: {entry[k]}")
+        elif loss_mean < best_loss and write_pth:
+            best_loss = loss_mean
+            save_checkpoint(
+                model_path, params, opt, float(lr_arr), epoch, best_loss, bitdepth
+            )
+
+        results.append(entry)
+        with open(os.path.join(gop_dir, "result.json"), "w") as f:
+            json.dump(results, f, indent=4)
+
+    if loss_mean < best_loss and write_pth:
+        best_loss = loss_mean
+        save_checkpoint(
+            model_path, params, opt, float(lr_arr), epoch_num - 1, best_loss, bitdepth
+        )
+    if not os.path.exists(model_path):
+        save_checkpoint(
+            model_path, params, opt, float(lr_arr), epoch_num - 1, loss_mean, bitdepth
+        )
+    return model_path

@@ -1,0 +1,173 @@
+"""Tests for the occupancy network: shapes, param inventory, conv math,
+training/codec-path agreement, gradient flow."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from linr_pcgc_tpu.ops import coord_key, canonical_sort, neighbor_map_27, neighbor_feature_code, CONV_OFFSETS_27
+from linr_pcgc_tpu.models import (
+    ModelConfig,
+    init_params,
+    param_count,
+    flatten_params,
+    unflatten_params,
+    forward_all_stages,
+    training_bits,
+    scale_input_lut,
+    level_context,
+    stage_logits,
+)
+
+CFG = ModelConfig()
+
+
+def make_level(rng, n_pts, pad_extra=5, depth=4):
+    pts = rng.integers(0, 1 << depth, size=(n_pts, 3), dtype=np.int32)
+    pts = np.unique(pts, axis=0)
+    total = len(pts) + pad_extra
+    arr = np.zeros((total, 3), np.int32)
+    arr[: len(pts)] = pts
+    valid = np.zeros(total, bool)
+    valid[: len(pts)] = True
+    coords, keys = canonical_sort(jnp.asarray(arr), jnp.asarray(valid))
+    nbr = neighbor_map_27(coords, keys)
+    code = neighbor_feature_code(coords, keys)
+    occ = (rng.uniform(size=(total, 8)) < 0.4).astype(np.float32)
+    occ[len(pts):] = 0
+    # every real parent has at least one child
+    occ[: len(pts), 0] = np.maximum(occ[: len(pts), 0], 1)
+    return coords, keys, nbr, code, jnp.asarray(occ), jnp.asarray(valid), len(pts)
+
+
+def test_param_count_matches_reference_architecture():
+    # Analytic inventory of the reference model at default config
+    # (SURVEY.md section 2.2): emb 56 + scale MLPs 2744 + block_in 5268 +
+    # prune convs 13888 + inner MLPs 1928 + outer blocks 30828 = 54712.
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    assert param_count(params) == 54712
+
+
+def test_flatten_roundtrip():
+    params = init_params(jax.random.PRNGKey(1), CFG)
+    flat = flatten_params(params)
+    assert flat.shape == (54712,)
+    back = unflatten_params(params, flat)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # deterministic order: flattening twice gives identical bytes
+    np.testing.assert_array_equal(np.asarray(flat), np.asarray(flatten_params(params)))
+
+
+def test_conv3_matches_dense_reference():
+    """The gather+matmul conv must equal a brute-force neighborhood sum."""
+    from linr_pcgc_tpu.models.network import _conv3
+
+    rng = np.random.default_rng(2)
+    coords, keys, nbr, _, _, valid, n = make_level(rng, 60, pad_extra=4)
+    cin, cout = 3, 5
+    x = rng.normal(size=(coords.shape[0], cin)).astype(np.float32)
+    x[~np.asarray(valid)] = 0
+    w = rng.normal(size=(27, cin, cout)).astype(np.float32)
+    b = rng.normal(size=(cout,)).astype(np.float32)
+    y = np.asarray(_conv3(jnp.asarray(x), nbr, {"w": jnp.asarray(w), "b": jnp.asarray(b)}))
+
+    cnp = np.asarray(coords)
+    index = {tuple(c): i for i, c in enumerate(map(tuple, cnp[:n]))}
+    for i in range(n):
+        acc = b.copy()
+        for o, off in enumerate(CONV_OFFSETS_27):
+            j = index.get(tuple(cnp[i] + off))
+            if j is not None:
+                acc = acc + x[j] @ w[o]
+        np.testing.assert_allclose(y[i], acc, rtol=2e-5, atol=2e-5)
+
+
+def test_forward_shapes_and_loss():
+    rng = np.random.default_rng(3)
+    coords, keys, nbr, code, occ, valid, n = make_level(rng, 200)
+    params = init_params(jax.random.PRNGKey(2), CFG)
+    scale_id = jnp.zeros(coords.shape[0], jnp.int32)
+    logits = forward_all_stages(params, CFG, scale_id, code, nbr, occ)
+    assert logits.shape == (coords.shape[0], 8)
+    bits = training_bits(params, CFG, scale_id, code, nbr, occ, valid)
+    assert np.isfinite(float(bits))
+    # untrained model ~ 1 bit per symbol: 8 symbols per valid node
+    per_sym = float(bits) / (8 * n)
+    assert 0.3 < per_sym < 3.0, per_sym
+
+
+def test_loss_ignores_padding():
+    rng = np.random.default_rng(4)
+    coords, keys, nbr, code, occ, valid, n = make_level(rng, 150, pad_extra=9)
+    params = init_params(jax.random.PRNGKey(3), CFG)
+    scale_id = jnp.zeros(coords.shape[0], jnp.int32)
+    bits1 = float(training_bits(params, CFG, scale_id, code, nbr, occ, valid))
+    # corrupt pad rows' occupancy: loss must not change
+    occ2 = occ.at[n:].set(1.0)
+    bits2 = float(training_bits(params, CFG, scale_id, code, nbr, occ2, valid))
+    assert bits1 == bits2
+
+
+def test_codec_path_matches_training_forward():
+    """level_context + stage_logits with ground-truth occupancy must agree
+    with the flat training forward (they are different XLA programs, so
+    allclose, not bit-equal; bit-equality is only required *between encoder
+    and decoder*, which share the staged path)."""
+    rng = np.random.default_rng(5)
+    coords, keys, nbr, code, occ, valid, n = make_level(rng, 180)
+    params = init_params(jax.random.PRNGKey(4), CFG)
+    scale_id = jnp.full(coords.shape[0], 3, jnp.int32)
+    ref = np.asarray(forward_all_stages(params, CFG, scale_id, code, nbr, occ))
+
+    x_glob = level_context(params, CFG, jnp.int32(3), code, nbr)
+    for stage in range(8):
+        lg = stage_logits(params, CFG, stage, x_glob, occ[:, :stage], nbr)
+        np.testing.assert_allclose(np.asarray(lg)[:n], ref[:n, stage], rtol=1e-4, atol=1e-5)
+
+
+def test_stage_logits_deterministic():
+    """Same executable + same inputs -> bit-identical logits (the enc/dec
+    symmetry requirement)."""
+    rng = np.random.default_rng(6)
+    coords, keys, nbr, code, occ, valid, n = make_level(rng, 120)
+    params = init_params(jax.random.PRNGKey(5), CFG)
+    x_glob = level_context(params, CFG, jnp.int32(1), code, nbr)
+    a = np.asarray(stage_logits(params, CFG, 4, x_glob, occ[:, :4], nbr))
+    b = np.asarray(stage_logits(params, CFG, 4, x_glob, occ[:, :4], nbr))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_lut_matches_direct_mlp():
+    from linr_pcgc_tpu.models.network import _mlp2
+
+    params = init_params(jax.random.PRNGKey(6), CFG)
+    lut = scale_input_lut(params, CFG)
+    assert lut.shape == (CFG.scale_num, 128, CFG.ch)
+    # spot-check one (scale, code) against direct evaluation
+    s, codeval = 2, 0b1010011
+    bits = jnp.asarray([(codeval >> k) & 1 for k in range(7)], jnp.float32)
+    x = jnp.concatenate([params["scale_emb"][s], bits])[None, :]
+    l0 = jax.tree_util.tree_map(lambda a: a[s], params["scale_mlp"]["l0"])
+    l1 = jax.tree_util.tree_map(lambda a: a[s], params["scale_mlp"]["l1"])
+    direct = _mlp2(x, l0, l1)[0]
+    np.testing.assert_allclose(
+        np.asarray(lut[s, codeval]), np.asarray(direct), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_gradients_flow_everywhere():
+    rng = np.random.default_rng(7)
+    coords, keys, nbr, code, occ, valid, n = make_level(rng, 100)
+    params = init_params(jax.random.PRNGKey(7), CFG)
+    # use a mix of scales so every scale MLP sees gradient
+    scale_id = jnp.asarray(rng.integers(0, CFG.scale_num, coords.shape[0]), jnp.int32)
+    grads = jax.grad(
+        lambda p: training_bits(p, CFG, scale_id, code, nbr, occ, valid)
+    )(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+    nonzero = [float(np.abs(np.asarray(g)).sum()) for g in flat]
+    assert all(v > 0 for v in nonzero), "some parameter got zero gradient"

@@ -1,0 +1,197 @@
+"""End-to-end codec tests: weight codec, training step, full lossless
+encode->decode roundtrip on synthetic clouds (CPU).
+
+This is the rebuild of the reference's ultimate correctness check — the
+decoder-side losslessness assert (decoder.py:140) — as a repeatable test.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from linr_pcgc_tpu.coding.weights import (
+    compress_params,
+    decompress_params,
+    estimate_bits,
+)
+from linr_pcgc_tpu.data import synthetic_cloud, PyramidDataset
+from linr_pcgc_tpu.models import ModelConfig, init_params, flatten_params
+from linr_pcgc_tpu.runtime import (
+    TrainConfig,
+    assemble_gop,
+    adam_init,
+    make_epoch_fn,
+    save_checkpoint,
+    load_checkpoint,
+    encode_gop,
+    decode_gop,
+    encode_frame,
+    decode_frame,
+)
+from linr_pcgc_tpu.runtime.overfit import batch_arrays
+from linr_pcgc_tpu.runtime.codec import (
+    encode_low_all_frames,
+    decode_low_all_frames,
+    params_template,
+)
+
+
+def small_dataset(n_frames=2, n_pts=2500, depth=7, scale_num=None):
+    frames = [synthetic_cloud(n_pts, depth=depth, seed=s) for s in range(n_frames)]
+    ds = PyramidDataset(frames, handle_dir=None, scale_num=scale_num)
+    ds[0]  # derive scale_num from frame 0, as the reference does (main.py:77)
+    return ds, frames
+
+
+def test_weight_codec_roundtrip_all_modes():
+    rng = np.random.default_rng(0)
+    # laplace-friendly vector (mode 2)
+    flat = rng.laplace(0.0, 0.05, 54712).astype(np.float32)
+    comp = compress_params(flat, 8)
+    recon = decompress_params(len(flat), comp["side_info"], comp["final_bytes"])
+    np.testing.assert_array_equal(recon, comp["recon"])
+    assert comp["enc_mode"] == 2
+    assert comp["bpp_real"] < 8
+    # near-uniform vector: AC can't beat zlib/raw -> falls back
+    flat_u = rng.uniform(-1, 1, 5000).astype(np.float32)
+    comp_u = compress_params(flat_u, 8)
+    recon_u = decompress_params(len(flat_u), comp_u["side_info"], comp_u["final_bytes"])
+    np.testing.assert_array_equal(recon_u, comp_u["recon"])
+    assert comp_u["enc_mode"] in (0, 1)
+    # estimate path agrees with the real path's reconstruction
+    est = estimate_bits(flat, 8)
+    np.testing.assert_array_equal(est["recon"], comp["recon"])
+
+
+def test_weight_codec_constant_params():
+    flat = np.full(1000, 0.25, np.float32)
+    comp = compress_params(flat, 8)
+    recon = decompress_params(1000, comp["side_info"], comp["final_bytes"])
+    np.testing.assert_array_equal(recon, comp["recon"])
+
+
+def test_base_layer_roundtrip():
+    ds, frames = small_dataset(3)
+    pyrs = [ds[i] for i in range(3)]
+    blob = encode_low_all_frames(pyrs)
+    lows, mins = decode_low_all_frames(blob)
+    assert len(lows) == 3
+    for pyr, low, mn in zip(pyrs, lows, mins):
+        np.testing.assert_array_equal(low, pyr.low_coords)
+        np.testing.assert_array_equal(mn, pyr.coord_min)
+
+
+def test_training_reduces_loss():
+    ds, _ = small_dataset(2, n_pts=2000)
+    pyrs = [ds[0], ds[1]]
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    tc = TrainConfig()
+    batch = assemble_gop(pyrs)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt = adam_init(params)
+    epoch_fn = make_epoch_fn(cfg, tc)
+    lr = jnp.asarray(tc.learning_rate, jnp.float32)
+    k = jnp.zeros((), jnp.int32)
+    arrays = batch_arrays(batch)
+    losses0 = None
+    for _ in range(6):
+        params, opt, lr, k, losses = epoch_fn(params, opt, lr, k, arrays)
+        if losses0 is None:
+            losses0 = float(np.mean(np.asarray(losses)))
+    lossN = float(np.mean(np.asarray(losses)))
+    assert lossN < losses0 * 0.8, (losses0, lossN)
+    assert int(opt["t"]) == 12  # one Adam step per frame per epoch
+
+
+def test_lr_schedule_semantics():
+    """lr decays by gamma every step_size optimizer steps; min_lr clamp at
+    epoch end."""
+    ds, _ = small_dataset(2, n_pts=800)
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    tc = TrainConfig(step_size=2, gamma=0.5, min_lr=0.004, learning_rate=0.01)
+    batch = assemble_gop([ds[0], ds[1]])
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt = adam_init(params)
+    epoch_fn = make_epoch_fn(cfg, tc)
+    lr = jnp.asarray(tc.learning_rate, jnp.float32)
+    k = jnp.zeros((), jnp.int32)
+    arrays = batch_arrays(batch)
+    # epoch = 2 frames = 2 steps -> one decay 0.01 -> 0.005 (above clamp)
+    params, opt, lr, k, _ = epoch_fn(params, opt, lr, k, arrays)
+    assert np.isclose(float(lr), 0.005)
+    # next epoch: decay to 0.0025 then clamped to 0.004 at epoch end
+    params, opt, lr, k, _ = epoch_fn(params, opt, lr, k, arrays)
+    assert np.isclose(float(lr), 0.004)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = ModelConfig(scale_num=5)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    opt = adam_init(params)
+    opt["t"] = jnp.asarray(17, jnp.int32)
+    path = str(tmp_path / "model.npz")
+    save_checkpoint(path, params, opt, lr=0.007, epoch=3, loss=0.5, bitdepth=8)
+    p2, o2, meta = load_checkpoint(path, params)
+    np.testing.assert_array_equal(
+        np.asarray(flatten_params(params)), np.asarray(flatten_params(p2))
+    )
+    assert int(o2["t"]) == 17
+    assert meta["lr"] == pytest.approx(0.007)
+    assert meta["bitdepth"] == 8
+
+
+def test_frame_codec_lossless_untrained():
+    """encode_frame -> decode_frame must be lossless even with random
+    (untrained) weights — correctness never depends on model quality."""
+    ds, frames = small_dataset(1, n_pts=3000)
+    pyr = ds[0]
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    out = encode_frame(params, cfg, pyr)
+    rec = decode_frame(params, cfg, out["blobs"], pyr.low_coords)
+    gt = np.unique(frames[0] - frames[0].min(axis=0), axis=0)
+    np.testing.assert_array_equal(rec, gt)
+
+
+def test_full_gop_pipeline_lossless(tmp_path):
+    """The whole thing: overfit a tiny GOP briefly, encode to disk, decode
+    from disk, assert losslessness against the original frames."""
+    from linr_pcgc_tpu.runtime import overfit_gop
+
+    ds, frames = small_dataset(2, n_pts=2000)
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    tc = TrainConfig()
+    result_dir = str(tmp_path / "out")
+    model_path = overfit_gop(
+        dataset=ds,
+        group_range=range(0, 2),
+        epoch_num=2,
+        cfg=cfg,
+        tc=tc,
+        result_dir=result_dir,
+        handle_dir=str(tmp_path / "tmp"),
+    )
+    assert os.path.exists(model_path)
+    assert os.path.exists(os.path.join(result_dir, "gop_0_1", "result.json"))
+
+    enc_dir = str(tmp_path / "enc" / "gop_0_1")
+    pyrs = [ds[0], ds[1]]
+    stats = encode_gop(model_path, pyrs, enc_dir, cfg)
+    assert stats["points"] == sum(p.point_num for p in pyrs)
+
+    dec_dir = str(tmp_path / "dec")
+    gt = lambda i: np.unique(frames[i], axis=0)
+    decoded = decode_gop(
+        enc_dir, dec_dir, cfg, ground_truth=gt, write_flag=True
+    )
+    assert len(decoded) == 2
+    # PLY outputs written
+    assert os.path.exists(os.path.join(dec_dir, "frame0000.ply"))
+    from linr_pcgc_tpu.data import read_ply
+
+    np.testing.assert_array_equal(
+        read_ply(os.path.join(dec_dir, "frame0001.ply")), gt(1)
+    )
