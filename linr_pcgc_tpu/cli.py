@@ -27,20 +27,7 @@ import numpy as np
 from .models import ModelConfig
 from .runtime import TrainConfig, overfit_gop, encode_gop, decode_gop
 from .data import PyramidDataset
-
-
-def set_logger(logpath: str) -> logging.Logger:
-    logger = logging.getLogger("linr_pcgc_tpu")
-    logger.setLevel(logging.INFO)
-    logger.handlers.clear()
-    fmt = logging.Formatter("%(message)s")
-    fh = logging.FileHandler(logpath, mode="a", encoding="utf-8")
-    fh.setFormatter(fmt)
-    logger.addHandler(fh)
-    sh = logging.StreamHandler(sys.stdout)
-    sh.setFormatter(fmt)
-    logger.addHandler(sh)
-    return logger
+from .utils import set_logger
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -169,6 +169,29 @@ def decompress_params(n_params: int, side_info: dict, blob: bytes) -> np.ndarray
     )
 
 
+def compare_methods(flat: np.ndarray, bitdepth: int = 8) -> dict:
+    """Size of every storage mode side by side (reference
+    ``compare_methods``, model_size_est.py:317-372)."""
+    n = len(flat)
+    q, _, _, _ = quantize_uniform(flat, bitdepth)
+    mu = float(np.round(q.astype(np.float64).mean()))
+    b = float(np.round(np.abs(q - mu).mean()))
+    raw = q.astype(_storage_dtype(bitdepth)).tobytes()
+    deflated = zlib.compress(raw)
+    if b > 0 and bitdepth <= 8:
+        row = laplace_cdf_row(bitdepth, mu, b)
+        coded = shared_cdf_encode(row, q.astype(np.int16))
+        bit_laplace = len(coded) * 8 + 2 * np.ceil(bitdepth) + SIDE_INFO_BITS
+    else:
+        bit_laplace = float("inf")
+    return {
+        "bit_ori": n * 32,
+        "bit_tobyte": len(raw) * 8 + SIDE_INFO_BITS,
+        "bit_zlib": len(deflated) * 8 + SIDE_INFO_BITS,
+        "bit_laplace": float(bit_laplace),
+    }
+
+
 def estimate_bits(flat: np.ndarray, bitdepth: int = 8) -> dict:
     """Estimate-only path (reference ``estibits``, :99-179): same mode
     choice and reconstruction, no real entropy coding."""

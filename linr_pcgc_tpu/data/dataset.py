@@ -34,7 +34,7 @@ from ..ops import (
     coord_key,
     octree_down,
     neighbor_feature_code,
-    neighbor_map_27,
+    neighbor_map,
 )
 from .ply import read_ply
 
@@ -99,20 +99,20 @@ def _feat_step(coords, keys):
     return neighbor_feature_code(coords, keys)
 
 
-@jax.jit
-def _nbr_step(coords, keys):
-    return neighbor_map_27(coords, keys)
+@partial(jax.jit, static_argnames=("kernel_size",))
+def _nbr_step(coords, keys, kernel_size: int = 3):
+    return neighbor_map(coords, keys, kernel_size)
 
 
-def level_arrays_from_coords(coords_np: np.ndarray, n: int):
+def level_arrays_from_coords(coords_np: np.ndarray, n: int, kernel_size: int = 3):
     """Device prep for a level given its (padded, sorted) coords: keys,
-    neighbor feature code, 27-neighbor map.  Shared by preprocessing and
+    neighbor feature code, k^3-neighbor map.  Shared by preprocessing and
     the decoder."""
     coords = jnp.asarray(coords_np)
     valid = jnp.arange(coords.shape[0]) < n
     keys = coord_key(coords, valid)
     code = _feat_step(coords, keys)
-    nbr = _nbr_step(coords, keys)
+    nbr = _nbr_step(coords, keys, kernel_size)
     return coords, keys, code, nbr
 
 

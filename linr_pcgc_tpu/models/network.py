@@ -68,10 +68,15 @@ class ModelConfig:
     scale_mlp_hidden: int = 16
     block_layers: int = 1
     outstage: int = 8
+    kernel_size: int = 3  # model_core2 variant: plumb k through every block
 
     @property
     def ch(self) -> int:
         return self.hidden_channel_conv
+
+    @property
+    def kvol(self) -> int:
+        return self.kernel_size**3
 
 
 # ------------------------------------------------------------------ init --
@@ -98,26 +103,26 @@ def _conv_init(key, kvol, cin, cout):
     }
 
 
-def _irn_init(key, ch):
+def _irn_init(key, ch, kvol=27):
     """InceptionResNet block (resnet.py:7-60): two paths, channels halved."""
     h = ch // 2
     ks = jax.random.split(key, 5)
     return {
-        "c00": _conv_init(ks[0], 27, ch, h),
-        "c01": _conv_init(ks[1], 27, h, h),
+        "c00": _conv_init(ks[0], kvol, ch, h),
+        "c01": _conv_init(ks[1], kvol, h, h),
         "c10": _conv_init(ks[2], 1, ch, h),
-        "c11": _conv_init(ks[3], 27, h, h),
+        "c11": _conv_init(ks[3], kvol, h, h),
         "c12": _conv_init(ks[4], 1, h, h),
     }
 
 
-def _block_init(key, cin, ch, cout):
-    """make_block (upsample.py:88-97): conv3 -> relu -> IRN -> conv3."""
+def _block_init(key, cin, ch, cout, kvol=27):
+    """make_block (upsample.py:88-97): conv -> relu -> IRN -> conv."""
     k0, k1, k2 = jax.random.split(key, 3)
     return {
-        "conv_in": _conv_init(k0, 27, cin, ch),
-        "irn": _irn_init(k1, ch),
-        "conv_out": _conv_init(k2, 27, ch, cout),
+        "conv_in": _conv_init(k0, kvol, cin, ch),
+        "irn": _irn_init(k1, ch, kvol),
+        "conv_out": _conv_init(k2, kvol, ch, cout),
     }
 
 
@@ -138,7 +143,9 @@ def init_params(key, cfg: ModelConfig):
             keys[2], lambda k: _linear_init(k, cfg.scale_mlp_hidden, ch), S
         ),
     }
-    prune = stack_init(keys[4], lambda k: _conv_init(k, 27, ch, ch), cfg.outstage)
+    prune = stack_init(
+        keys[4], lambda k: _conv_init(k, cfg.kvol, ch, ch), cfg.outstage
+    )
     inner_mlp = {
         "l0": stack_init(
             keys[5], lambda k: _linear_init(k, ch, cfg.hidden_channel_mlp), cfg.outstage
@@ -149,12 +156,13 @@ def init_params(key, cfg: ModelConfig):
     }
     outer_keys = jax.random.split(keys[7], cfg.outstage - 1)
     outer = [
-        _block_init(outer_keys[i], i + 1, ch, ch) for i in range(cfg.outstage - 1)
+        _block_init(outer_keys[i], i + 1, ch, ch, cfg.kvol)
+        for i in range(cfg.outstage - 1)
     ]
     return {
         "scale_emb": jax.random.normal(keys[0], (S, emb), F32),  # torch default
         "scale_mlp": scale_mlp,
-        "block_in": _block_init(keys[3], ch, ch, ch),
+        "block_in": _block_init(keys[3], ch, ch, ch, cfg.kvol),
         "prune": prune,
         "inner_mlp": inner_mlp,
         "outer": outer,
@@ -190,6 +198,16 @@ def unflatten_params(params_like, flat):
 # --------------------------------------------------------------- applies --
 
 
+# TPU layout note: every activation in this network has <= 24 channels,
+# and TPU tiles pad the minor (lane) dimension to 128.  Node-major (N, C)
+# arrays therefore waste up to 16x memory and bandwidth (measured: an
+# 8-channel gather temp expanded 523 MB -> 8.2 GB).  All internal compute
+# is feature-major (C, N): the huge N axis rides the lanes, channels ride
+# the sublanes, and padding disappears.  Neighbor maps are carried
+# transposed as (K, N) for the same reason.  Public entry points document
+# their layouts explicitly.
+
+
 def _relu(x):
     return jnp.maximum(x, 0.0)
 
@@ -201,34 +219,45 @@ _PREC = jax.lax.Precision.HIGHEST
 
 
 def _conv1(x, p):
-    return jnp.dot(x, p["w"], precision=_PREC, preferred_element_type=F32) + p["b"]
+    """1x1x1 conv, feature-major: (Cin, N) -> (Cout, N)."""
+    y = jax.lax.dot_general(
+        p["w"], x, (((0,), (0,)), ((), ())),
+        precision=_PREC, preferred_element_type=F32,
+    )
+    return y + p["b"][:, None]
 
 
-def _conv3(x, nbr27, p):
-    """3x3x3 submanifold conv: gather 27 neighbor rows, one dense matmul.
+def _conv3(x, idx_t, p):
+    """k^3 submanifold conv, feature-major.
 
-    ``nbr27`` is the (N, 27) index map (-1 = neighbor absent -> zero row).
+    x: (Cin, N); idx_t: (K, N) neighbor map (-1 = absent -> zeros);
+    p["w"]: (K, Cin, Cout).  One gather + one dot_general contracting
+    (K, Cin) jointly; output (Cout, N).
     """
-    n = x.shape[0]
+    cin, n = x.shape
+    k = idx_t.shape[0]
     # -1 marks an absent neighbor; JAX wraps negative indices even in fill
     # mode, so remap to n (out of bounds high) which fill-gathers zeros.
-    idx = jnp.where(nbr27 < 0, n, nbr27).reshape(-1)
-    g = jnp.take(x, idx, axis=0, mode="fill", fill_value=0.0)
-    g = g.reshape(n, -1)  # (N, 27*Cin)
-    w = p["w"].reshape(-1, p["w"].shape[-1])
-    return jnp.dot(g, w, precision=_PREC, preferred_element_type=F32) + p["b"]
+    idx = jnp.where(idx_t < 0, n, idx_t).reshape(-1)
+    g = jnp.take(x, idx, axis=1, mode="fill", fill_value=0.0)
+    g = g.reshape(cin, k, n)
+    y = jax.lax.dot_general(
+        p["w"], g, (((0, 1), (1, 0)), ((), ())),
+        precision=_PREC, preferred_element_type=F32,
+    )
+    return y + p["b"][:, None]
 
 
-def _irn(x, nbr27, p):
-    out0 = _conv3(_relu(_conv3(x, nbr27, p["c00"])), nbr27, p["c01"])
-    out1 = _conv1(_relu(_conv3(_relu(_conv1(x, p["c10"])), nbr27, p["c11"])), p["c12"])
-    return jnp.concatenate([out0, out1], axis=-1) + x
+def _irn(x, idx_t, p):
+    out0 = _conv3(_relu(_conv3(x, idx_t, p["c00"])), idx_t, p["c01"])
+    out1 = _conv1(_relu(_conv3(_relu(_conv1(x, p["c10"])), idx_t, p["c11"])), p["c12"])
+    return jnp.concatenate([out0, out1], axis=0) + x
 
 
-def _block(x, nbr27, p):
-    y = _relu(_conv3(x, nbr27, p["conv_in"]))
-    y = _irn(y, nbr27, p["irn"])
-    return _conv3(y, nbr27, p["conv_out"])
+def _block(x, idx_t, p):
+    y = _relu(_conv3(x, idx_t, p["conv_in"]))
+    y = _irn(y, idx_t, p["irn"])
+    return _conv3(y, idx_t, p["conv_out"])
 
 
 def _mlp2(x, l0, l1):
@@ -240,94 +269,176 @@ def scale_input_lut(params, cfg: ModelConfig):
     neighbor-feature codes (equivalent to model_core.py:46-57 evaluated on
     every possible input)."""
     codes = jnp.arange(128, dtype=jnp.int32)
-    bits = ((codes[:, None] >> jnp.arange(7, dtype=jnp.int32)[None, :]) & 1).astype(F32)
+    bits = ((codes[None, :] >> jnp.arange(7, dtype=jnp.int32)[:, None]) & 1).astype(F32)
 
     def per_scale(emb_s, l0, l1):
         x = jnp.concatenate(
-            [jnp.broadcast_to(emb_s, (128, emb_s.shape[0])), bits], axis=-1
-        )
-        return _mlp2(x, l0, l1)
+            [jnp.broadcast_to(emb_s[:, None], (emb_s.shape[0], 128)), bits],
+            axis=0,
+        )  # (emb+7, 128)
+        return _mlp2(x, l0, l1).T  # (128, ch)
 
     return jax.vmap(per_scale)(
         params["scale_emb"], params["scale_mlp"]["l0"], params["scale_mlp"]["l1"]
     )
 
 
-def _stage_context(params, x_glob, occ_known, nbr27, stage: int):
+def _input_features(params, cfg: ModelConfig, scale_code):
+    """Gather the input embedding per node: scale_code = scale_id*128 +
+    feat_code, (N,).  Returns (ch, N)."""
+    lut = scale_input_lut(params, cfg)  # (S, 128, ch)
+    flat = lut.reshape(-1, lut.shape[-1]).T  # (ch, S*128)
+    return jnp.take(flat, scale_code, axis=1)
+
+
+def _stage_context(params, x_glob, occ_t, idx_t, stage: int):
     """Context fed to stage ``stage``: x_glob (+ occupancy-context block
-    over channels 0..stage-1 for stage >= 1; upsample.py:204-214)."""
+    over channels 0..stage-1 for stage >= 1; upsample.py:204-214).
+    ``occ_t`` is (8, N) feature-major ground truth."""
     if stage == 0:
         return x_glob
-    return x_glob + _block(occ_known, nbr27, params["outer"][stage - 1])
+    return x_glob + _block(occ_t[:stage], idx_t, params["outer"][stage - 1])
 
 
-def _stage_head(params, ctx, nbr27, stage: int):
+def _stage_head(params, ctx, idx_t, stage: int):
     """Per-stage head: prune conv then the [ch -> 24 -> 1] MLP
     (upsample.py:137-161); returns logits (N,)."""
-    h = _conv3(ctx, nbr27, {"w": params["prune"]["w"][stage], "b": params["prune"]["b"][stage]})
+    h = _conv3(ctx, idx_t, {"w": params["prune"]["w"][stage], "b": params["prune"]["b"][stage]})
     l0 = {"w": params["inner_mlp"]["l0"]["w"][stage], "b": params["inner_mlp"]["l0"]["b"][stage]}
     l1 = {"w": params["inner_mlp"]["l1"]["w"][stage], "b": params["inner_mlp"]["l1"]["b"][stage]}
-    return _mlp2(h, l0, l1)[:, 0]
+    return _mlp2(h, l0, l1)[0]
 
 
-def forward_all_stages(params, cfg: ModelConfig, scale_id, feat_code, nbr27, occ):
+def forward_all_stages(params, cfg: ModelConfig, scale_id, feat_code, idx_t, occ_t):
     """Training-path forward over a flat multi-scale node array.
 
     Args:
       scale_id:  (N,) int32 scale index per node.
       feat_code: (N,) int32 packed 7-neighbor occupancy feature.
-      nbr27:     (N, 27) int32 neighbor map (-1 absent; pad rows all -1).
-      occ:       (N, 8) float32 ground-truth occupancy bits.
+      idx_t:     (K, N) int32 transposed neighbor map (-1 absent).
+      occ_t:     (8, N) float32 ground-truth occupancy bits, feature-major.
 
-    Returns logits (N, 8).
+    Returns logits (8, N).
+
+    Each stage is rematerialized (jax.checkpoint): the backward pass
+    recomputes the stage's gathers/matmuls instead of keeping ~36 gathered
+    (K*Cin, N) temporaries alive, bounding HBM to one stage's working set.
     """
-    lut = scale_input_lut(params, cfg)  # (S, 128, ch)
-    flat_lut = lut.reshape(-1, lut.shape[-1])
-    intensor = jnp.take(flat_lut, scale_id * 128 + feat_code, axis=0)
+    intensor = _input_features(params, cfg, scale_id * 128 + feat_code)
 
-    x_glob = _block(intensor, nbr27, params["block_in"])
-    logits = []
-    for i in range(cfg.outstage):
-        ctx = _stage_context(params, x_glob, occ[:, :i], nbr27, i)
-        logits.append(_stage_head(params, ctx, nbr27, i))
-    return jnp.stack(logits, axis=-1)  # (N, 8)
+    block_in = jax.checkpoint(lambda p, xi: _block(xi, idx_t, p["block_in"]))
+    x_glob = block_in(params, intensor)
+
+    def stage_fn(i):
+        def run(p, xg, ot):
+            ctx = _stage_context(p, xg, ot, idx_t, i)
+            return _stage_head(p, ctx, idx_t, i)
+        return jax.checkpoint(run, static_argnums=())
+
+    logits = [stage_fn(i)(params, x_glob, occ_t) for i in range(cfg.outstage)]
+    return jnp.stack(logits, axis=0)  # (8, N)
 
 
-def training_bits(params, cfg: ModelConfig, scale_id, feat_code, nbr27, occ, mask):
+def training_bits(params, cfg: ModelConfig, scale_id, feat_code, idx_t, occ_t, mask):
     """Total code-length estimate in bits over valid nodes: the sum-BCE/ln2
     loss of the reference (model_core.py:77-80), numerically stabilized via
-    logits."""
-    logits = forward_all_stages(params, cfg, scale_id, feat_code, nbr27, occ)
+    logits.  ``occ_t`` feature-major (8, N); ``mask`` (N,)."""
+    logits = forward_all_stages(params, cfg, scale_id, feat_code, idx_t, occ_t)
     # stable sigmoid BCE: max(l,0) - l*y + log1p(exp(-|l|))
-    bce = jnp.maximum(logits, 0.0) - logits * occ + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    bce = jnp.where(mask[:, None], bce, 0.0)
+    bce = jnp.maximum(logits, 0.0) - logits * occ_t + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    bce = jnp.where(mask[None, :], bce, 0.0)
     return jnp.sum(bce) / LN2
 
 
 # ------------------------------------------------------------ codec path --
 
 
+def stack_outer_blocks(params, cfg: ModelConfig):
+    """Stack the ragged per-stage occupancy-context blocks into dense
+    tensors with zero-padded input channels.
+
+    outer[i].conv_in has in_channels = i+1; zero-padding it to
+    ``outstage-1`` channels is mathematically exact (zero weights
+    contribute exactly 0.0), and makes the stage index a *traced* scalar:
+    one compiled executable covers all 8 stages, which matters on TPU
+    where each new (shape, static-arg) combination is a fresh compile.
+    """
+    k = cfg.outstage - 1  # 7
+    conv_in_w = jnp.stack(
+        [
+            jnp.pad(p["conv_in"]["w"], ((0, 0), (0, k - 1 - i), (0, 0)))
+            for i, p in enumerate(params["outer"])
+        ]
+    )  # (7, kvol, 7, ch)
+
+    def stack(fn):
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[fn(p) for p in params["outer"]]
+        )
+
+    return {
+        "conv_in_w": conv_in_w,
+        "conv_in_b": jnp.stack([p["conv_in"]["b"] for p in params["outer"]]),
+        "irn": stack(lambda p: p["irn"]),
+        "conv_out": stack(lambda p: p["conv_out"]),
+    }
+
+
+def stage_context_traced(params, cfg: ModelConfig, stage, x_glob, occ7_t, idx_t):
+    """Context for a *traced* stage index.
+
+    ``occ7_t`` is (outstage-1, N) float32 feature-major; rows >= stage are
+    masked to zero here, so the encoder may pass full ground truth and the
+    decoder its partially-filled buffer — both sides feed the executable
+    identical values (the encoder/decoder bit-identity requirement).
+    """
+    k = cfg.outstage - 1
+    occ_masked = occ7_t * (jnp.arange(k) < stage).astype(F32)[:, None]
+    st = stack_outer_blocks(params, cfg)
+    idx = jnp.maximum(stage - 1, 0)
+    blk = {
+        "conv_in": {"w": st["conv_in_w"][idx], "b": st["conv_in_b"][idx]},
+        "irn": jax.tree_util.tree_map(lambda a: a[idx], st["irn"]),
+        "conv_out": jax.tree_util.tree_map(lambda a: a[idx], st["conv_out"]),
+    }
+    ctx_occ = _block(occ_masked, idx_t, blk)
+    return x_glob + jnp.where(stage > 0, 1.0, 0.0) * ctx_occ
+
+
+def stage_head_traced(params, stage, ctx, idx_t):
+    h = _conv3(
+        ctx,
+        idx_t,
+        {"w": params["prune"]["w"][stage], "b": params["prune"]["b"][stage]},
+    )
+    l0 = {
+        "w": params["inner_mlp"]["l0"]["w"][stage],
+        "b": params["inner_mlp"]["l0"]["b"][stage],
+    }
+    l1 = {
+        "w": params["inner_mlp"]["l1"]["w"][stage],
+        "b": params["inner_mlp"]["l1"]["b"][stage],
+    }
+    return _mlp2(h, l0, l1)[0]
+
+
 @partial(jax.jit, static_argnames=("cfg",))
-def level_context(params, cfg: ModelConfig, scale_idx, feat_code, nbr27):
-    """Per-level global context for the production codec.
+def level_context(params, cfg: ModelConfig, scale_idx, feat_code, idx_t):
+    """Per-level global context for the production codec; returns (ch, N)
+    feature-major.
 
     ``scale_idx`` is a traced scalar; encoder and decoder call this with the
     same padded shapes so the executable (and hence the f32 bits of the
     output) is identical on both sides.
     """
-    lut = scale_input_lut(params, cfg)
-    intensor = jnp.take(lut[:, :, :].reshape(-1, lut.shape[-1]),
-                        scale_idx * 128 + feat_code, axis=0)
-    return _block(intensor, nbr27, params["block_in"])
+    intensor = _input_features(params, cfg, scale_idx * 128 + feat_code)
+    return _block(intensor, idx_t, params["block_in"])
 
 
 @partial(jax.jit, static_argnames=("cfg", "stage"))
-def stage_logits(params, cfg: ModelConfig, stage: int, x_glob, occ_known, nbr27):
-    """Stage-``stage`` occupancy logits given known channels 0..stage-1.
-
-    ``occ_known`` must have static shape (N, stage) (empty for stage 0).
-    Used identically by encoder (with ground-truth bits) and decoder (with
-    arithmetic-decoded bits).
-    """
-    ctx = _stage_context(params, x_glob, occ_known, nbr27, stage)
-    return _stage_head(params, ctx, nbr27, stage)
+def stage_logits(params, cfg: ModelConfig, stage: int, x_glob, occ_t, idx_t):
+    """Static-stage logits for API convenience/tests; the production codec
+    uses the traced-stage path (stage_context_traced + stage_head_traced).
+    ``occ_t`` must be (stage, N) feature-major (empty for stage 0)."""
+    ctx = _stage_context(params, x_glob, occ_t, idx_t, stage)
+    return _stage_head(params, ctx, idx_t, stage)

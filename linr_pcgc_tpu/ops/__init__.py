@@ -13,8 +13,10 @@ from .octree import (
     OCTANT_OFFSETS,
     NEIGHBOR_OFFSETS_7,
     CONV_OFFSETS_27,
+    conv_offsets,
     octree_down,
     octree_up,
     neighbor_feature_code,
+    neighbor_map,
     neighbor_map_27,
 )

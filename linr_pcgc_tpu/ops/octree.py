@@ -46,14 +46,24 @@ NEIGHBOR_OFFSETS_7 = np.array(
     dtype=np.int32,
 )
 
-# 3x3x3 convolution offsets, lexicographic in (dx, dy, dz).  This order is
-# this framework's kernel-weight layout convention (axis 0 of every k3
+# k^3 convolution offsets, lexicographic in (dx, dy, dz).  This order is
+# this framework's kernel-weight layout convention (axis 0 of every conv
 # kernel); it need not match MinkowskiEngine's internal enumeration because
-# our bitstreams carry our own weight layout.
-CONV_OFFSETS_27 = np.array(
-    [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
-    dtype=np.int32,
-)
+# our bitstreams carry our own weight layout.  kernel_size parametrization
+# covers the reference's model_core2 variant (model_core2.py plumbs
+# kernel_size through every CNP block).
+
+
+def conv_offsets(kernel_size: int = 3) -> np.ndarray:
+    r = kernel_size // 2
+    span = range(-r, r + 1)
+    return np.array(
+        [[dx, dy, dz] for dx in span for dy in span for dz in span],
+        dtype=np.int32,
+    )
+
+
+CONV_OFFSETS_27 = conv_offsets(3)
 
 
 def octree_down(coords: jax.Array, keys: jax.Array, out_size: int):
@@ -137,15 +147,20 @@ def neighbor_feature_code(coords: jax.Array, keys: jax.Array) -> jax.Array:
     return jnp.sum(found.astype(jnp.int32) * bits[None, :], axis=1)
 
 
-def neighbor_map_27(coords: jax.Array, keys: jax.Array) -> jax.Array:
-    """(N, 27) int32 gather map for 3x3x3 submanifold convolutions.
+def neighbor_map(coords: jax.Array, keys: jax.Array, kernel_size: int = 3) -> jax.Array:
+    """(N, k^3) int32 gather map for k^3 submanifold convolutions.
 
-    Entry [i, o] is the row index of ``coords[i] + CONV_OFFSETS_27[o]`` in
+    Entry [i, o] is the row index of ``coords[i] + conv_offsets(k)[o]`` in
     ``coords``, or -1 if that voxel is absent.  Pad rows map to all -1.
     """
     n = coords.shape[0]
+    kvol = kernel_size**3
     valid = keys != KEY_PAD
-    offsets = jnp.asarray(CONV_OFFSETS_27)  # (27, 3)
-    q = coords[:, None, :] + offsets[None, :, :]  # (N, 27, 3)
-    qkey = coord_key(q.reshape(-1, 3), jnp.repeat(valid, 27)).reshape(n, 27)
+    offsets = jnp.asarray(conv_offsets(kernel_size))  # (kvol, 3)
+    q = coords[:, None, :] + offsets[None, :, :]  # (N, kvol, 3)
+    qkey = coord_key(q.reshape(-1, 3), jnp.repeat(valid, kvol)).reshape(n, kvol)
     return lookup(keys, qkey)
+
+
+def neighbor_map_27(coords: jax.Array, keys: jax.Array) -> jax.Array:
+    return neighbor_map(coords, keys, 3)

@@ -1,4 +1,4 @@
-"""Production encode/decode pipelines.
+"""Production encode/decode pipelines (GOP-batched, traced-stage).
 
 Bitstream artifact layout matches the reference encoder/decoder
 (/root/reference/encoder.py, decoder.py, test_utils.py):
@@ -13,15 +13,28 @@ Bitstream artifact layout matches the reference encoder/decoder
     <dir>/bins/frame{NNNN}_scale{s}.bin  pack_bitstream of the 8 per-stage
                                          occupancy AC streams of scale s
 
-Encoder/decoder symmetry: probabilities on both sides come from the SAME
-jitted executables (`level_context` + `stage_logits` + sigmoid) applied to
-the same bucket-padded shapes, with the *dequantized* weights
-(encoder.py:101-103), so the f32 probability streams are bit-identical by
-construction.  Stage i's context depends only on occupancy channels < i,
-which the decoder has already arithmetic-decoded; per level the decoder
-therefore runs 8 device steps with a host AC call between them, while the
-encoder (knowing ground truth) batches all 8 AC encodes into one
-multithreaded native call.
+TPU-first structure (vs the reference's frame-serial, stage-serial
+device<->host ping-pong):
+
+  * ALL frames of a GOP are coded together, stage-synchronously: one
+    vmapped executable evaluates stage i of scale s for every frame at
+    once, and the host arithmetic coder runs all frames' streams in one
+    multithreaded native call.  Device dispatches per GOP: S * 8 instead
+    of F * S * 8.
+  * The stage index is a traced scalar (models/network.py
+    ``stage_context_traced``), so one executable per level bucket covers
+    all 8 stages — compile count stays tiny.
+  * Encoder/decoder symmetry: both sides run the *same* executables on the
+    same GOP-padded shapes with the *dequantized* weights
+    (encoder.py:101-103).  The stage context masks occupancy columns
+    >= stage, so the encoder can pass full ground truth while the decoder
+    passes its partially decoded buffer — the masked values coincide, so
+    the f32 probability streams are bit-identical by construction.
+
+Consequence (a deliberate codec property, like the reference's shared
+per-GOP model): the GOP is the decode unit — per-level array shapes are
+derived from the max level size across the GOP's frames, which the decoder
+reconstructs as it decodes all frames together.
 """
 
 from __future__ import annotations
@@ -37,15 +50,21 @@ import jax.numpy as jnp
 
 from ..coding import (
     binary_encode_batch,
-    binary_decode,
+    binary_decode_batch,
     pack_bitstream,
     unpack_bitstream,
 )
 from ..coding.weights import compress_params, decompress_params
-from ..data.dataset import FramePyramid, bucket_size, level_arrays_from_coords
+from ..data.dataset import FramePyramid, bucket_size
 from ..data.ply import write_ply_ascii
-from ..models import ModelConfig, stage_logits, level_context, flatten_params, unflatten_params, init_params
-from ..ops import octree_up
+from ..models import ModelConfig, flatten_params, unflatten_params, init_params
+from ..models.network import (
+    _block,
+    _input_features,
+    stage_context_traced,
+    stage_head_traced,
+)
+from ..ops import coord_key, neighbor_feature_code, neighbor_map, octree_up
 
 F32 = jnp.float32
 
@@ -75,74 +94,164 @@ def decode_low_all_frames(blob: bytes):
     return lows, mins
 
 
-# --------------------------------------------------------- staged probs --
+# ------------------------------------------------- batched level kernels --
 
 
-@partial(jax.jit, static_argnames=("cfg", "stage"))
-def _stage_probs(params, cfg: ModelConfig, stage: int, x_glob, occ_known, nbr27):
-    return jax.nn.sigmoid(stage_logits(params, cfg, stage, x_glob, occ_known, nbr27))
+@partial(jax.jit, static_argnames=("kernel_size",))
+def _prep_levels(coords, n_valid, kernel_size: int = 3):
+    """(F, B, 3) coords + (F,) counts -> keys, feature codes, neighbor
+    maps, all per frame."""
+
+    def one(c, n):
+        valid = jnp.arange(c.shape[0]) < n
+        keys = coord_key(c, valid)
+        nbr_t = neighbor_map(c, keys, kernel_size).T  # (K, B) feature-major
+        return keys, neighbor_feature_code(c, keys), nbr_t
+
+    return jax.vmap(one)(coords, n_valid)
 
 
-def _prep_level(params, cfg: ModelConfig, s_idx: int, coords_np: np.ndarray, n: int):
-    coords, keys, code, nbr = level_arrays_from_coords(coords_np, n)
-    x_glob = level_context(params, cfg, jnp.int32(s_idx), code, nbr)
-    return coords, keys, nbr, x_glob
+@partial(jax.jit, static_argnames=("cfg",))
+def _context_batched(params, cfg: ModelConfig, s_idx, code, nbr):
+    def one(code_f, nbr_f):
+        intensor = _input_features(params, cfg, s_idx * 128 + code_f)
+        return _block(intensor, nbr_f, params["block_in"])  # (ch, B)
+
+    return jax.vmap(one)(code, nbr)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _stage_probs_batched(params, cfg: ModelConfig, stage, x_glob, occ7, nbr):
+    def one(xg, o7, nb):
+        ctx = stage_context_traced(params, cfg, stage, xg, o7, nb)
+        return jax.nn.sigmoid(stage_head_traced(params, stage, ctx, nb))
+
+    return jax.vmap(one)(x_glob, occ7, nbr)
+
+
+@jax.jit
+def _upsample_batched(coords, keys, occ):
+    def one(c, k, o):
+        children, ckeys, n_c = octree_up(c, k, o)
+        return children, n_c
+
+    return jax.vmap(one)(coords, keys, occ)
+
+
+def _pad_level_coords(level_coords: list[np.ndarray], ns: list[int]):
+    b = bucket_size(max(ns)) if ns else 1024
+    f = len(level_coords)
+    out = np.zeros((f, b, 3), np.int32)
+    for i, (c, n) in enumerate(zip(level_coords, ns)):
+        out[i, :n] = c[:n]
+    return out, b
+
+
+# -------------------------------------------------------------- encoding --
+
+
+def encode_gop_streams(params, cfg: ModelConfig, pyramids: list[FramePyramid]):
+    """Occupancy streams for every (frame, scale) of a GOP, coded
+    stage-synchronously across frames.  Returns blobs[frame][scale]."""
+    f = len(pyramids)
+    s_num = pyramids[0].scale_num
+    blobs = [[None] * s_num for _ in range(f)]
+    total_bits = 0
+    for s in range(s_num):
+        ns = [p.levels[s].n for p in pyramids]
+        coords_np, b = _pad_level_coords([p.levels[s].coords for p in pyramids], ns)
+        coords = jnp.asarray(coords_np)
+        n_dev = jnp.asarray(ns, jnp.int32)
+        keys, code, nbr = _prep_levels(coords, n_dev, cfg.kernel_size)
+        x_glob = _context_batched(params, cfg, jnp.int32(s), code, nbr)
+        occ_np = np.zeros((f, b, 8), np.float32)
+        for i, p in enumerate(pyramids):
+            occ_np[i, : ns[i]] = p.levels[s].occ[: ns[i]]
+        # feature-major (F, 7, B) for the stage context
+        occ7 = jnp.asarray(occ_np.transpose(0, 2, 1)[:, : cfg.outstage - 1, :])
+
+        probs_all, bits_all = [], []
+        for stage in range(cfg.outstage):
+            pr = np.asarray(
+                _stage_probs_batched(params, cfg, jnp.int32(stage), x_glob, occ7, nbr)
+            )
+            for i in range(f):
+                probs_all.append(pr[i, : ns[i]])
+                bits_all.append(occ_np[i, : ns[i], stage])
+        streams = binary_encode_batch(probs_all, bits_all)
+        # streams are ordered stage-major; regroup per frame
+        for i in range(f):
+            per_frame = [streams[stage * f + i] for stage in range(cfg.outstage)]
+            blob = pack_bitstream(per_frame)
+            blobs[i][s] = blob
+            total_bits += len(blob) * 8
+    return blobs, total_bits
 
 
 def encode_frame(params, cfg: ModelConfig, pyr: FramePyramid) -> dict:
-    """Encode one frame's occupancy streams; returns
-    {'blobs': [bytes per scale], 'bits': total}."""
-    blobs = []
-    total_bits = 0
-    for s_idx, lev in enumerate(pyr.levels):
-        _, _, nbr, x_glob = _prep_level(params, cfg, s_idx, lev.coords, lev.n)
-        b = lev.coords.shape[0]
-        occ_f = jnp.asarray(lev.occ.astype(np.float32))
-        probs, bits = [], []
-        occ_known = jnp.zeros((b, 0), F32)
-        for stage in range(8):
-            p = _stage_probs(params, cfg, stage, x_glob, occ_known, nbr)
-            probs.append(np.asarray(p[: lev.n]))
-            bits.append(lev.occ[: lev.n, stage])
-            occ_known = jnp.concatenate([occ_known, occ_f[:, stage: stage + 1]], axis=1)
-        streams = binary_encode_batch(probs, bits)
-        blob = pack_bitstream(streams)
-        total_bits += len(blob) * 8
-        blobs.append(blob)
-    return {"blobs": blobs, "bits": total_bits}
+    """Single-frame encode (a GOP of one).  Note: streams are only
+    decodable with the same frame grouping (GOP of one)."""
+    blobs, bits = encode_gop_streams(params, cfg, [pyr])
+    return {"blobs": blobs[0], "bits": bits}
 
 
-def decode_frame(params, cfg: ModelConfig, scale_blobs: list, low_coords: np.ndarray) -> np.ndarray:
-    """Decode one frame coarse-to-fine from the lowest-scale coords and the
-    per-scale stream blobs (decoder.py:153-176)."""
-    n = len(low_coords)
-    b = bucket_size(n)
-    cur = np.zeros((b, 3), np.int32)
-    cur[:n] = low_coords
-    for s_idx in range(len(scale_blobs) - 1, -1, -1):
-        coords, keys, nbr, x_glob = _prep_level(params, cfg, s_idx, cur, n)
-        streams = unpack_bitstream(scale_blobs[s_idx])
-        assert len(streams) == 8, "scale blob must hold 8 stage streams"
-        occ_known = jnp.zeros((coords.shape[0], 0), F32)
+# -------------------------------------------------------------- decoding --
+
+
+def decode_gop_streams(
+    params, cfg: ModelConfig, frame_blobs: list, lows: list[np.ndarray]
+):
+    """Decode all frames of a GOP coarse-to-fine, stage-synchronous.
+
+    frame_blobs[frame][scale] are the per-scale stream blobs; ``lows`` the
+    base-layer coords.  Returns the decoded (min-subtracted) coordinate
+    arrays, one per frame.
+    """
+    f = len(lows)
+    s_num = len(frame_blobs[0])
+    ns = [len(low) for low in lows]
+    cur_np, b = _pad_level_coords(lows, ns)
+    for s in range(s_num - 1, -1, -1):
+        coords = jnp.asarray(cur_np)
+        n_dev = jnp.asarray(ns, jnp.int32)
+        keys, code, nbr = _prep_levels(coords, n_dev, cfg.kernel_size)
+        x_glob = _context_batched(params, cfg, jnp.int32(s), code, nbr)
+        streams = [unpack_bitstream(frame_blobs[i][s]) for i in range(f)]
+        occ7 = jnp.zeros((f, cfg.outstage - 1, coords.shape[1]), F32)
         occ_cols = []
-        for stage in range(8):
-            p = _stage_probs(params, cfg, stage, x_glob, occ_known, nbr)
-            decoded = binary_decode(np.asarray(p[:n]), streams[stage])
-            col = np.zeros((coords.shape[0],), np.float32)
-            col[:n] = decoded
+        for stage in range(cfg.outstage):
+            pr = np.asarray(
+                _stage_probs_batched(params, cfg, jnp.int32(stage), x_glob, occ7, nbr)
+            )
+            decs = binary_decode_batch(
+                [pr[i, : ns[i]] for i in range(f)],
+                [streams[i][stage] for i in range(f)],
+            )
+            col = np.zeros((f, coords.shape[1]), np.float32)
+            for i in range(f):
+                col[i, : ns[i]] = decs[i]
             col_dev = jnp.asarray(col)
             occ_cols.append(col_dev)
-            occ_known = jnp.concatenate([occ_known, col_dev[:, None]], axis=1)
-        occ = jnp.stack(occ_cols, axis=1).astype(jnp.int32)
-        children, ckeys, n_c = octree_up(jnp.asarray(coords), keys, occ)
-        n = int(n_c)
-        b = bucket_size(n)
-        cur = np.zeros((b, 3), np.int32)
-        cur[:n] = np.asarray(children[:n])
-    return cur[:n]
+            if stage < cfg.outstage - 1:
+                occ7 = occ7.at[:, stage, :].set(col_dev)
+        occ = jnp.stack(occ_cols, axis=-1).astype(jnp.int32)
+        children, counts = _upsample_batched(coords, keys, occ)
+        ns = [int(c) for c in np.asarray(counts)]
+        b = bucket_size(max(ns))
+        children_np = np.asarray(children)
+        cur_np = np.zeros((f, b, 3), np.int32)
+        for i in range(f):
+            take = min(b, children_np.shape[1])
+            cur_np[i, : min(ns[i], take)] = children_np[i, : min(ns[i], take)]
+    return [cur_np[i, : ns[i]] for i in range(f)]
 
 
-# -------------------------------------------------------------- GOP enc --
+def decode_frame(params, cfg: ModelConfig, scale_blobs: list, low_coords: np.ndarray):
+    """Single-frame decode (GOP of one; see encode_frame)."""
+    return decode_gop_streams(params, cfg, [scale_blobs], [low_coords])[0]
+
+
+# ----------------------------------------------------------- GOP on disk --
 
 
 def params_template(cfg: ModelConfig):
@@ -183,23 +292,19 @@ def encode_gop(
     # (which only has those) predicts identically (encoder.py:101-103).
     params_used = unflatten_params(template, jnp.asarray(comp["recon"]))
 
-    total_bits = 0
-    total_points = 0
-    for idx, pyr in enumerate(pyramids):
-        log(f"encode frame {idx}/{len(pyramids)}")
-        out = encode_frame(params_used, cfg, pyr)
-        for s, blob in enumerate(out["blobs"]):
+    log(f"encode GOP: {len(pyramids)} frames")
+    blobs, total_bits = encode_gop_streams(params_used, cfg, pyramids)
+    for idx in range(len(pyramids)):
+        for s, blob in enumerate(blobs[idx]):
             with open(
                 os.path.join(bins_dir, f"frame{idx:04d}_scale{s}.bin"), "wb"
             ) as f:
                 f.write(blob)
-        total_bits += out["bits"]
-        total_points += pyr.point_num
     return {
         "point_bits": total_bits,
         "model_bits": comp["bit_real"],
         "low_bits": len(low_bytes) * 8,
-        "points": total_points,
+        "points": sum(p.point_num for p in pyramids),
         "enc_mode": comp["enc_mode"],
     }
 
@@ -215,8 +320,7 @@ def decode_gop(
 ) -> list:
     """Decode one GOP from its artifact directory; optionally verify
     losslessness against ground truth and write PLY files
-    (decoder.py:51-146).  Returns the decoded frames (original
-    coordinates)."""
+    (decoder.py:51-146)."""
     log = logger.info if logger is not None else print
     bins_dir = os.path.join(enc_dir, "bins")
 
@@ -232,23 +336,27 @@ def decode_gop(
     flat = decompress_params(n_params, side_info, model_blob)
     params = unflatten_params(template, jnp.asarray(flat))
 
-    if dec_dir is not None:
-        os.makedirs(dec_dir, exist_ok=True)
-
-    decoded = []
+    frame_blobs = []
     for idx in range(len(lows)):
         # scale count discovered from the bin files (decoder.py:104-113)
         files = globmod.glob(os.path.join(bins_dir, f"frame{idx:04d}_scale*.bin"))
         scale_num = 1 + max(
-            int(f.rsplit("scale", 1)[1].split(".bin")[0]) for f in files
+            int(fn.rsplit("scale", 1)[1].split(".bin")[0]) for fn in files
         )
         blobs = []
         for s in range(scale_num):
             with open(
                 os.path.join(bins_dir, f"frame{idx:04d}_scale{s}.bin"), "rb"
-            ) as f:
-                blobs.append(f.read())
-        coords = decode_frame(params, cfg, blobs, lows[idx])
+            ) as fh:
+                blobs.append(fh.read())
+        frame_blobs.append(blobs)
+
+    if dec_dir is not None:
+        os.makedirs(dec_dir, exist_ok=True)
+
+    coords_list = decode_gop_streams(params, cfg, frame_blobs, lows)
+    decoded = []
+    for idx, coords in enumerate(coords_list):
         final = coords + mins[idx]
         if ground_truth is not None:
             gt = ground_truth(idx)

@@ -1,12 +1,16 @@
 """Mid-training evaluation: real-rate measurement of a GOP checkpoint.
 
 The reference's ``Test_one_gop`` (test_utils.py:16-163): load the
-checkpoint, run the weight-codec roundtrip, per frame run a real
-arithmetic encode + decode with asserts, and report
+checkpoint, run the weight-codec roundtrip, run a real arithmetic encode +
+decode with asserts over every frame, and report
 
     bpp_all = point_bpp + model_bpp + xyzlow_bpp
 
-plus per-frame enc/dec times, written to ``result.json``.
+plus per-frame enc/dec times, written to ``result.json``.  Like the
+reference's ``model.codec`` (model_core.py:170-227), the AC decode reuses
+the encoder's probability tensors — the network-side symmetry is separately
+guaranteed by construction (see runtime/codec.py) and separately tested by
+the full decode pipeline.
 """
 
 from __future__ import annotations
@@ -18,9 +22,65 @@ import time
 import numpy as np
 import jax.numpy as jnp
 
-from ..coding import binary_decode_batch, unpack_bitstream, binary_estimate_bits
+from ..coding import (
+    binary_decode_batch,
+    binary_encode_batch,
+    binary_estimate_bits,
+    pack_bitstream,
+)
 from ..coding.weights import compress_params, decompress_params
 from ..models import ModelConfig, flatten_params, unflatten_params
+
+
+def _gop_probs_and_bits(params, cfg: ModelConfig, pyramids):
+    """Per-(scale, stage, frame) probability and ground-truth bit arrays,
+    computed exactly like the production encoder (batched, traced-stage)."""
+    from .codec import _pad_level_coords, _prep_levels, _context_batched, _stage_probs_batched
+
+    f = len(pyramids)
+    per_frame = [[] for _ in range(f)]  # frame -> list over (scale, stage)
+    for s in range(pyramids[0].scale_num):
+        ns = [p.levels[s].n for p in pyramids]
+        coords_np, b = _pad_level_coords([p.levels[s].coords for p in pyramids], ns)
+        coords = jnp.asarray(coords_np)
+        keys, code, nbr = _prep_levels(coords, jnp.asarray(ns, jnp.int32), cfg.kernel_size)
+        x_glob = _context_batched(params, cfg, jnp.int32(s), code, nbr)
+        occ_np = np.zeros((f, b, 8), np.float32)
+        for i, p in enumerate(pyramids):
+            occ_np[i, : ns[i]] = p.levels[s].occ[: ns[i]]
+        occ7 = jnp.asarray(occ_np.transpose(0, 2, 1)[:, : cfg.outstage - 1, :])
+        for stage in range(cfg.outstage):
+            pr = np.asarray(
+                _stage_probs_batched(params, cfg, jnp.int32(stage), x_glob, occ7, nbr)
+            )
+            for i in range(f):
+                per_frame[i].append(
+                    (s, stage, pr[i, : ns[i]], occ_np[i, : ns[i], stage])
+                )
+    return per_frame
+
+
+def frame_bit_heatmap(params, cfg: ModelConfig, pyr) -> list:
+    """Per-point bit heatmap data (the reference's ``codec_with_point``,
+    model_core.py:84-167): per scale, the parent coordinates, ground-truth
+    occupancy, per-stage prediction quality 1 - |p - gt| and its -log2
+    coding cost."""
+    per_frame = _gop_probs_and_bits(params, cfg, [pyr])[0]
+    out = []
+    for s_idx, lev in enumerate(pyr.levels):
+        entries = [e for e in per_frame if e[0] == s_idx]
+        p = np.stack([e[2] for e in entries], axis=1)   # (n, 8)
+        gt = np.stack([e[3] for e in entries], axis=1)  # (n, 8)
+        quality = 1.0 - np.abs(p - gt)
+        out.append(
+            {
+                "coords": lev.coords[: lev.n].copy(),
+                "gt": gt,
+                "quality": quality,
+                "bits": -np.log2(np.maximum(quality, 1e-12)),
+            }
+        )
+    return out
 
 
 def test_one_gop(
@@ -32,7 +92,7 @@ def test_one_gop(
     low_bytes: bytes | None = None,
     logger=None,
 ) -> dict:
-    from .codec import encode_frame, params_template
+    from .codec import params_template
     from .overfit import load_checkpoint
 
     if low_bytes is None and write_flag:
@@ -64,72 +124,57 @@ def test_one_gop(
     if write_flag:
         with open(os.path.join(bins_dir, "model.bin"), "wb") as f:
             f.write(comp["final_bytes"])
-    side_info = dict(comp["side_info"])
     with open(os.path.join(result_dir, "side_info.json"), "w") as f:
-        json.dump(side_info, f, indent=4)
+        json.dump(dict(comp["side_info"]), f, indent=4)
 
+    # Network forward for the whole GOP (the timed "enc" network pass).
+    st = time.time()
+    per_frame = _gop_probs_and_bits(params_used, cfg, pyramids)
+    t_net = time.time() - st
+
+    # Real AC encode + decode roundtrip, batched over everything.
+    probs = [e[2] for frame in per_frame for e in frame]
+    bits = [e[3] for frame in per_frame for e in frame]
+    st = time.time()
+    streams = binary_encode_batch(probs, bits)
+    t_enc = time.time() - st
+    st = time.time()
+    decs = binary_decode_batch(probs, streams)
+    t_dec = time.time() - st
+    for d, gt in zip(decs, bits):
+        assert np.array_equal(d, gt.astype(np.uint8)), "AC roundtrip failed"
+
+    bits_est = sum(binary_estimate_bits(p, b) for p, b in zip(probs, bits))
+    points = sum(p.point_num for p in pyramids)
+    # real point bits = packed per (frame, scale) like the encoder
     bits_real = 0
-    bits_est = 0.0
-    points = 0
-    for idx, pyr in enumerate(pyramids):
-        st = time.time()
-        out = encode_frame(params_used, cfg, pyr)
-        t_enc = time.time() - st
-        # real AC decode roundtrip per stream (model_core.py:170-227's
-        # encode+decode+assert, done batched)
-        st = time.time()
-        probs_all, bits_all, streams_all = [], [], []
-        for s_idx, (lev, blob) in enumerate(zip(pyr.levels, out["blobs"])):
-            streams = unpack_bitstream(blob)
-            p_out = _frame_probs(params_used, cfg, s_idx, lev)
-            for stage in range(8):
-                probs_all.append(p_out[stage])
-                bits_all.append(lev.occ[: lev.n, stage])
-                streams_all.append(streams[stage])
-        decs = binary_decode_batch(probs_all, streams_all)
-        t_dec = time.time() - st
-        for d, gt in zip(decs, bits_all):
-            assert np.array_equal(d, gt.astype(np.uint8)), "AC roundtrip failed"
-        bits_est += sum(
-            binary_estimate_bits(p, bvec) for p, bvec in zip(probs_all, bits_all)
-        )
-        bits_real += out["bits"]
-        points += pyr.point_num
-        enc_time += t_enc
-        dec_time += t_enc + t_dec  # decode re-runs the network, like the ref
-        if write_flag:
-            for s, blob in enumerate(out["blobs"]):
+    s_num = pyramids[0].scale_num
+    for i, frame in enumerate(per_frame):
+        for s in range(s_num):
+            idxs = [j for j, e in enumerate(frame) if e[0] == s]
+            base = i * s_num * cfg.outstage
+            blob = pack_bitstream([streams[base + j] for j in idxs])
+            bits_real += len(blob) * 8
+            if write_flag:
                 with open(
-                    os.path.join(bins_dir, f"frame{idx:04d}_scale{s}.bin"), "wb"
+                    os.path.join(bins_dir, f"frame{i:04d}_scale{s}.bin"), "wb"
                 ) as f:
                     f.write(blob)
 
+    enc_time += t_net + t_enc
+    dec_time += t_net + t_dec
     low_bits = len(low_bytes) * 8 if low_bytes is not None else 0
+    n_frames = len(pyramids)
     result = {
-        "bpp_all": bits_real / points + comp["bit_real"] / points + low_bits / points,
+        "bpp_all": (bits_real + comp["bit_real"] + low_bits) / points,
         "point_bpp": bits_real / points,
         "point_bpp_val": bits_est / points,
         "model_bpp": comp["bit_real"] / points,
         "xyzlow_bpp": low_bits / points,
         "enc_mode": comp["enc_mode"],
-        "enc_time": enc_time / len(pyramids),
-        "dec_time": dec_time / len(pyramids),
+        "enc_time": enc_time / n_frames,
+        "dec_time": dec_time / n_frames,
     }
     with open(os.path.join(result_dir, "result.json"), "w") as f:
         json.dump(result, f, indent=4)
     return result
-
-
-def _frame_probs(params, cfg: ModelConfig, s_idx: int, lev):
-    """Per-stage probability arrays for one level (ground-truth context)."""
-    from .codec import _prep_level, _stage_probs
-
-    _, _, nbr, x_glob = _prep_level(params, cfg, s_idx, lev.coords, lev.n)
-    occ_f = jnp.asarray(lev.occ.astype(np.float32))
-    out = []
-    occ_known = jnp.zeros((lev.coords.shape[0], 0), jnp.float32)
-    for stage in range(8):
-        p = _stage_probs(params, cfg, stage, x_glob, occ_known, nbr)
-        out.append(np.asarray(p[: lev.n]))
-        occ_known = jnp.concatenate([occ_known, occ_f[:, stage: stage + 1]], axis=1)
-    return out

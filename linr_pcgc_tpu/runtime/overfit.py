@@ -65,8 +65,8 @@ class GopBatch:
 
     scale_id: jax.Array   # (F, N) int32
     feat_code: jax.Array  # (F, N) int32
-    nbr27: jax.Array      # (F, N, 27) int32, flat-global indices, -1 absent
-    occ: jax.Array        # (F, N, 8) uint8
+    nbr27: jax.Array      # (F, K, N) int32 transposed flat-global map, -1 absent
+    occ: jax.Array        # (F, 8, N) uint8 feature-major
     mask: jax.Array       # (F, N) bool
     point_num: jax.Array  # (F,) float32
     level_buckets: list   # shared per-level bucket sizes
@@ -87,7 +87,7 @@ class GopBatch:
         )
 
 
-def assemble_gop(pyramids: list[FramePyramid]) -> GopBatch:
+def assemble_gop(pyramids: list[FramePyramid], kernel_size: int = 3) -> GopBatch:
     """Pad every frame's levels to shared buckets and build the flat,
     stacked training batch (neighbor maps are rebuilt on device)."""
     S = pyramids[0].scale_num
@@ -109,13 +109,17 @@ def assemble_gop(pyramids: list[FramePyramid]) -> GopBatch:
             b, off = level_buckets[s], level_offsets[s]
             coords = np.zeros((b, 3), np.int32)
             coords[: lev.n] = lev.coords[: lev.n]
-            _, _, _, nbr = level_arrays_from_coords(coords, lev.n)
-            parts_nbr.append(jnp.where(nbr >= 0, nbr + off, -1))
+            _, _, _, nbr = level_arrays_from_coords(coords, lev.n, kernel_size)
+            # transposed (K, B) with int32 flat-global offsets (keep int32:
+            # a numpy int64 offset would silently promote the whole map)
+            parts_nbr.append(
+                jnp.where(nbr >= 0, nbr + jnp.int32(off), -1).T.astype(jnp.int32)
+            )
             scale_id[off: off + b] = s
             code[off: off + lev.n] = lev.feat_code[: lev.n]
             occ[off: off + lev.n] = lev.occ[: lev.n]
             mask[off: off + lev.n] = True
-        f_nbr.append(jnp.concatenate(parts_nbr, axis=0))
+        f_nbr.append(jnp.concatenate(parts_nbr, axis=1))
         f_scale.append(scale_id)
         f_code.append(code)
         f_occ.append(occ)
@@ -125,7 +129,7 @@ def assemble_gop(pyramids: list[FramePyramid]) -> GopBatch:
         scale_id=jnp.asarray(np.stack(f_scale)),
         feat_code=jnp.asarray(np.stack(f_code)),
         nbr27=jnp.stack(f_nbr),
-        occ=jnp.asarray(np.stack(f_occ)),
+        occ=jnp.asarray(np.stack(f_occ).transpose(0, 2, 1)),  # (F, 8, N)
         mask=jnp.asarray(np.stack(f_mask)),
         point_num=jnp.asarray(
             np.array([p.point_num for p in pyramids], np.float32)
@@ -153,8 +157,8 @@ def frame_loss(params, cfg: ModelConfig, fd: dict):
         cfg,
         fd["scale_id"],
         fd["feat_code"],
-        fd["nbr27"],
-        fd["occ"].astype(F32),
+        fd["nbr27"],          # (K, N) transposed map
+        fd["occ"].astype(F32),  # (8, N) feature-major
         fd["mask"],
     )
     return bits / fd["point_num"]
@@ -312,7 +316,7 @@ def overfit_gop(
                 f.write(low_bytes)
     xyzlow_bpp = len(low_bytes) / point_total
 
-    batch = assemble_gop(pyramids)
+    batch = assemble_gop(pyramids, cfg.kernel_size)
     arrays = batch_arrays(batch)
 
     params = init_params(jax.random.PRNGKey(seed), cfg)

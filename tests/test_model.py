@@ -33,13 +33,14 @@ def make_level(rng, n_pts, pad_extra=5, depth=4):
     valid = np.zeros(total, bool)
     valid[: len(pts)] = True
     coords, keys = canonical_sort(jnp.asarray(arr), jnp.asarray(valid))
-    nbr = neighbor_map_27(coords, keys)
+    nbr_t = neighbor_map_27(coords, keys).T  # feature-major (K, N)
     code = neighbor_feature_code(coords, keys)
     occ = (rng.uniform(size=(total, 8)) < 0.4).astype(np.float32)
     occ[len(pts):] = 0
     # every real parent has at least one child
     occ[: len(pts), 0] = np.maximum(occ[: len(pts), 0], 1)
-    return coords, keys, nbr, code, jnp.asarray(occ), jnp.asarray(valid), len(pts)
+    occ_t = jnp.asarray(occ.T)  # (8, N)
+    return coords, keys, nbr_t, code, occ_t, jnp.asarray(valid), len(pts)
 
 
 def test_param_count_matches_reference_architecture():
@@ -66,13 +67,15 @@ def test_conv3_matches_dense_reference():
     from linr_pcgc_tpu.models.network import _conv3
 
     rng = np.random.default_rng(2)
-    coords, keys, nbr, _, _, valid, n = make_level(rng, 60, pad_extra=4)
+    coords, keys, nbr_t, _, _, valid, n = make_level(rng, 60, pad_extra=4)
     cin, cout = 3, 5
     x = rng.normal(size=(coords.shape[0], cin)).astype(np.float32)
     x[~np.asarray(valid)] = 0
     w = rng.normal(size=(27, cin, cout)).astype(np.float32)
     b = rng.normal(size=(cout,)).astype(np.float32)
-    y = np.asarray(_conv3(jnp.asarray(x), nbr, {"w": jnp.asarray(w), "b": jnp.asarray(b)}))
+    y_t = np.asarray(
+        _conv3(jnp.asarray(x.T), nbr_t, {"w": jnp.asarray(w), "b": jnp.asarray(b)})
+    )  # (cout, N)
 
     cnp = np.asarray(coords)
     index = {tuple(c): i for i, c in enumerate(map(tuple, cnp[:n]))}
@@ -82,7 +85,7 @@ def test_conv3_matches_dense_reference():
             j = index.get(tuple(cnp[i] + off))
             if j is not None:
                 acc = acc + x[j] @ w[o]
-        np.testing.assert_allclose(y[i], acc, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(y_t[:, i], acc, rtol=2e-5, atol=2e-5)
 
 
 def test_forward_shapes_and_loss():
@@ -91,7 +94,7 @@ def test_forward_shapes_and_loss():
     params = init_params(jax.random.PRNGKey(2), CFG)
     scale_id = jnp.zeros(coords.shape[0], jnp.int32)
     logits = forward_all_stages(params, CFG, scale_id, code, nbr, occ)
-    assert logits.shape == (coords.shape[0], 8)
+    assert logits.shape == (8, coords.shape[0])
     bits = training_bits(params, CFG, scale_id, code, nbr, occ, valid)
     assert np.isfinite(float(bits))
     # untrained model ~ 1 bit per symbol: 8 symbols per valid node
@@ -106,7 +109,7 @@ def test_loss_ignores_padding():
     scale_id = jnp.zeros(coords.shape[0], jnp.int32)
     bits1 = float(training_bits(params, CFG, scale_id, code, nbr, occ, valid))
     # corrupt pad rows' occupancy: loss must not change
-    occ2 = occ.at[n:].set(1.0)
+    occ2 = occ.at[:, n:].set(1.0)
     bits2 = float(training_bits(params, CFG, scale_id, code, nbr, occ2, valid))
     assert bits1 == bits2
 
@@ -124,8 +127,8 @@ def test_codec_path_matches_training_forward():
 
     x_glob = level_context(params, CFG, jnp.int32(3), code, nbr)
     for stage in range(8):
-        lg = stage_logits(params, CFG, stage, x_glob, occ[:, :stage], nbr)
-        np.testing.assert_allclose(np.asarray(lg)[:n], ref[:n, stage], rtol=1e-4, atol=1e-5)
+        lg = stage_logits(params, CFG, stage, x_glob, occ[:stage], nbr)
+        np.testing.assert_allclose(np.asarray(lg)[:n], ref[stage, :n], rtol=1e-4, atol=1e-5)
 
 
 def test_stage_logits_deterministic():
@@ -135,8 +138,8 @@ def test_stage_logits_deterministic():
     coords, keys, nbr, code, occ, valid, n = make_level(rng, 120)
     params = init_params(jax.random.PRNGKey(5), CFG)
     x_glob = level_context(params, CFG, jnp.int32(1), code, nbr)
-    a = np.asarray(stage_logits(params, CFG, 4, x_glob, occ[:, :4], nbr))
-    b = np.asarray(stage_logits(params, CFG, 4, x_glob, occ[:, :4], nbr))
+    a = np.asarray(stage_logits(params, CFG, 4, x_glob, occ[:4], nbr))
+    b = np.asarray(stage_logits(params, CFG, 4, x_glob, occ[:4], nbr))
     np.testing.assert_array_equal(a, b)
 
 
@@ -149,10 +152,10 @@ def test_lut_matches_direct_mlp():
     # spot-check one (scale, code) against direct evaluation
     s, codeval = 2, 0b1010011
     bits = jnp.asarray([(codeval >> k) & 1 for k in range(7)], jnp.float32)
-    x = jnp.concatenate([params["scale_emb"][s], bits])[None, :]
+    x = jnp.concatenate([params["scale_emb"][s], bits])[:, None]  # (15, 1)
     l0 = jax.tree_util.tree_map(lambda a: a[s], params["scale_mlp"]["l0"])
     l1 = jax.tree_util.tree_map(lambda a: a[s], params["scale_mlp"]["l1"])
-    direct = _mlp2(x, l0, l1)[0]
+    direct = _mlp2(x, l0, l1)[:, 0]
     np.testing.assert_allclose(
         np.asarray(lut[s, codeval]), np.asarray(direct), rtol=1e-5, atol=1e-6
     )
@@ -171,3 +174,25 @@ def test_gradients_flow_everywhere():
     assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
     nonzero = [float(np.abs(np.asarray(g)).sum()) for g in flat]
     assert all(v > 0 for v in nonzero), "some parameter got zero gradient"
+
+
+def test_kernel_size_5_variant():
+    """model_core2 parity: kernel_size plumbs through every block
+    (reference models/model_core2.py); forward and codec stay consistent."""
+    from linr_pcgc_tpu.ops import neighbor_map
+    from linr_pcgc_tpu.ops import coord_key as _ck
+    import jax.numpy as _jnp
+
+    rng = np.random.default_rng(11)
+    cfg5 = ModelConfig(scale_num=3, kernel_size=5)
+    params = init_params(jax.random.PRNGKey(8), cfg5)
+    # conv kernels carry 125 offsets
+    assert params["block_in"]["conv_in"]["w"].shape[0] == 125
+    coords, keys, _, code, occ, valid, n = make_level(rng, 80)
+    nbr125_t = neighbor_map(coords, keys, 5).T
+    assert nbr125_t.shape[0] == 125
+    scale_id = _jnp.zeros(coords.shape[0], _jnp.int32)
+    logits = forward_all_stages(params, cfg5, scale_id, code, nbr125_t, occ)
+    assert logits.shape == (8, coords.shape[0])
+    assert np.all(np.isfinite(np.asarray(logits)))
+
