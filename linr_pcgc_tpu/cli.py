@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--delete_cache", type=str, default="False")
     p.add_argument("--write_real_bitstream", type=str, default="False")
     p.add_argument("--check_freq", type=int, default=5)
+    p.add_argument("--resume", type=str, default="False",
+                   help="continue an interrupted GOP from its own checkpoint")
     p.add_argument("--ori_dir", type=str, default="test_pc")
     p.add_argument("--ori_dtype", type=str, default="ply")
     p.add_argument("--handle_dir", type=str, default="tmp/test_pc")
@@ -139,6 +141,7 @@ def run(args, logger=None) -> None:
                 write_pth=args.write_pth == "True",
                 write_real_bitstream=args.write_real_bitstream == "True",
                 handle_dir=args.handle_dir,
+                resume=args.resume == "True",
                 logger=logger,
             )
             if g_idx == 0:

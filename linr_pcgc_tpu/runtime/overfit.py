@@ -285,10 +285,15 @@ def overfit_gop(
     write_real_bitstream: bool = False,
     handle_dir: str | None = None,
     low_bytes: bytes | None = None,
+    resume: bool = False,
     logger=None,
 ) -> str:
     """Overfit one GOP; mirrors reference ``overfit_one_gop``
-    (main.py:122-452).  Returns the checkpoint path."""
+    (main.py:122-452).  Returns the checkpoint path.
+
+    ``resume=True`` continues an interrupted run from the GOP's own
+    checkpoint (params + Adam state + lr + epoch) — elastic recovery the
+    reference lacks (it restarts a GOP's epochs from the warm start)."""
     from .codec import encode_low_all_frames  # local import to avoid cycle
     from .evaluate import test_one_gop
 
@@ -322,7 +327,13 @@ def overfit_gop(
     params = init_params(jax.random.PRNGKey(seed), cfg)
     opt = adam_init(params)
     lr = tc.learning_rate
-    if warm_start_path is not None and os.path.isfile(warm_start_path):
+    start_epoch = 0
+    if resume and os.path.isfile(model_path):
+        params, opt, meta = load_checkpoint(model_path, params)
+        lr = meta["lr"]
+        start_epoch = meta["epoch"] + 1
+        log(f"resume {model_path} at epoch {start_epoch} (lr={lr:.6f})")
+    elif warm_start_path is not None and os.path.isfile(warm_start_path):
         params, opt, meta = load_checkpoint(warm_start_path, params)
         lr = meta["lr"]
         log(f"warm start from {warm_start_path} (lr={lr:.6f})")
@@ -335,7 +346,9 @@ def overfit_gop(
     results = []
     train_time = 0.0
     loss_mean = float("nan")
-    for epoch in range(epoch_num):
+    if start_epoch >= epoch_num:
+        return model_path
+    for epoch in range(start_epoch, epoch_num):
         st = time.time()
         params, opt, lr_arr, sched_count, losses = epoch_fn(
             params, opt, lr_arr, sched_count, arrays

@@ -196,3 +196,27 @@ def test_kernel_size_5_variant():
     assert logits.shape == (8, coords.shape[0])
     assert np.all(np.isfinite(np.asarray(logits)))
 
+
+
+def test_conv3_custom_vjp_matches_autodiff():
+    """The scatter-free backward must equal autodiff of the plain
+    gather+matmul forward, for both dx and dw."""
+    from linr_pcgc_tpu.models.network import _conv3_op, _conv3_apply
+
+    rng = np.random.default_rng(12)
+    coords, keys, nbr_t, _, _, valid, n = make_level(rng, 70, pad_extra=6)
+    cin, cout = 4, 6
+    x = jnp.asarray(rng.normal(size=(cin, coords.shape[0])).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(cout, coords.shape[0])).astype(np.float32))
+
+    def loss_custom(x, w):
+        return jnp.sum(_conv3_op(x, w, nbr_t) * cot)
+
+    def loss_plain(x, w):
+        return jnp.sum(_conv3_apply(x, w, nbr_t) * cot)
+
+    gx_c, gw_c = jax.grad(loss_custom, argnums=(0, 1))(x, w)
+    gx_p, gw_p = jax.grad(loss_plain, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_p), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_p), rtol=1e-4, atol=1e-5)

@@ -195,3 +195,35 @@ def test_full_gop_pipeline_lossless(tmp_path):
     np.testing.assert_array_equal(
         read_ply(os.path.join(dec_dir, "frame0001.ply")), gt(1)
     )
+
+
+def test_overfit_resume(tmp_path):
+    """Interrupted GOP training continues from its own checkpoint."""
+    from linr_pcgc_tpu.runtime import overfit_gop
+    from linr_pcgc_tpu.runtime.overfit import load_checkpoint
+    from linr_pcgc_tpu.runtime.codec import params_template
+
+    ds, _ = small_dataset(1, n_pts=1200)
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    tc = TrainConfig()
+    rd = str(tmp_path / "out")
+    path = overfit_gop(
+        dataset=ds, group_range=range(0, 1), epoch_num=2, cfg=cfg, tc=tc,
+        result_dir=rd, handle_dir=str(tmp_path / "tmp"),
+    )
+    _, _, meta1 = load_checkpoint(path, params_template(cfg))
+    assert meta1["epoch"] == 1
+    # resume to epoch 4: continues, does not restart
+    path = overfit_gop(
+        dataset=ds, group_range=range(0, 1), epoch_num=4, cfg=cfg, tc=tc,
+        result_dir=rd, handle_dir=str(tmp_path / "tmp"), resume=True,
+    )
+    _, _, meta2 = load_checkpoint(path, params_template(cfg))
+    assert meta2["epoch"] == 3
+    # resuming past the target is a no-op
+    path = overfit_gop(
+        dataset=ds, group_range=range(0, 1), epoch_num=3, cfg=cfg, tc=tc,
+        result_dir=rd, handle_dir=str(tmp_path / "tmp"), resume=True,
+    )
+    _, _, meta3 = load_checkpoint(path, params_template(cfg))
+    assert meta3["epoch"] == 3
