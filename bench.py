@@ -14,6 +14,10 @@ import os
 import sys
 import time
 
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 BASELINE_S_PER_FRAME_EPOCH = 0.64  # RTX 3090, loot (BASELINE.md)
@@ -29,30 +33,47 @@ def main():
     from linr_pcgc_tpu.models import ModelConfig, init_params
     from linr_pcgc_tpu.runtime import TrainConfig, assemble_gop, adam_init, make_epoch_fn
     from linr_pcgc_tpu.runtime.overfit import batch_arrays
+    from linr_pcgc_tpu.runtime.brick_overfit import assemble_gop_bricks, make_epoch_fn_bricks
 
+    backend = os.environ.get("BENCH_BACKEND", "bricks")
+
+    log(f"devices: {jax.devices()}")
     n_frames = int(os.environ.get("BENCH_FRAMES", "4"))
     n_points = int(os.environ.get("BENCH_POINTS", "800000"))
     frames = [
         synthetic_cloud(n_points, depth=10, seed=7, phase=0.08 * t)
         for t in range(n_frames)
     ]
+    log(f"generated {n_frames} frames of ~{n_points} pts")
+    t0 = time.time()
     ds = PyramidDataset(frames, handle_dir=None)
     ds[0]
     pyrs = [ds[i] for i in range(n_frames)]
-    batch = assemble_gop(pyrs)
-    arrays = batch_arrays(batch)
+    log(f"pyramids built in {time.time()-t0:.1f}s; scale_num={ds.scale_num}")
+    t0 = time.time()
     cfg = ModelConfig(scale_num=ds.scale_num)
     tc = TrainConfig()
+    if backend == "bricks":
+        batch = assemble_gop_bricks(pyrs)
+        arrays = batch
+        log(f"gop assembled (bricks) in {time.time()-t0:.1f}s; flat bricks={batch.nbr27.shape[1]}")
+        epoch_fn = make_epoch_fn_bricks(cfg, tc, batch.level_slices)
+    else:
+        batch = assemble_gop(pyrs)
+        arrays = batch_arrays(batch)
+        log(f"gop assembled in {time.time()-t0:.1f}s; flat nodes={batch.scale_id.shape[1]}")
+        epoch_fn = make_epoch_fn(cfg, tc)
 
     params = init_params(jax.random.PRNGKey(0), cfg)
     opt = adam_init(params)
-    epoch_fn = make_epoch_fn(cfg, tc)
     lr = jnp.asarray(tc.learning_rate, jnp.float32)
     k = jnp.zeros((), jnp.int32)
 
     # warmup (compile)
+    t0 = time.time()
     params, opt, lr, k, losses = epoch_fn(params, opt, lr, k, arrays)
     np.asarray(losses)
+    log(f"epoch_fn compiled+run in {time.time()-t0:.1f}s; loss={float(np.mean(np.asarray(losses))):.4f}")
 
     n_epochs = int(os.environ.get("BENCH_EPOCHS", "3"))
     st = time.time()

@@ -26,7 +26,33 @@ __version__ = "0.1.0"
 # so 64-bit integer support must be on before any jnp array is created.
 # All floating-point arrays in this package use explicit float32 dtypes;
 # enabling x64 does not widen them.
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Integer geometry preprocessing runs on the CPU backend (identical
+# results, and it avoids paying a slow accelerator compile per array
+# shape).  When the environment pins JAX to a TPU platform only, extend
+# the platform list so a CPU device exists.
+_plat = _os.environ.get("JAX_PLATFORMS", "")
+if _plat and "cpu" not in _plat:
+    try:
+        _jax.config.update("jax_platforms", _plat + ",cpu")
+    except Exception:
+        pass
+
+
+def geometry_device():
+    """Device used for integer geometry preprocessing (octree pyramids,
+    neighbor maps at encode time).  CPU by default — the results are
+    integers, identical on every backend, and CPU compiles are instant.
+    Set LINR_GEOMETRY_DEVICE=default to keep it on the main device."""
+    if _os.environ.get("LINR_GEOMETRY_DEVICE") == "default":
+        return None
+    try:
+        return _jax.devices("cpu")[0]
+    except Exception:
+        return None
 

@@ -36,7 +36,14 @@ from ..ops import (
     neighbor_feature_code,
     neighbor_map,
 )
+from .. import geometry_device
 from .ply import read_ply
+import contextlib
+
+
+def _geom_scope():
+    dev = geometry_device()
+    return jax.default_device(dev) if dev is not None else contextlib.nullcontext()
 
 MIN_POINT_NUM = 64  # reference default, main.py:498
 
@@ -131,31 +138,33 @@ def build_pyramid(
     cur = pts
     n_cur = point_num
     max_levels = scale_num if scale_num is not None else 100000
-    for s_idx in range(max_levels):
-        b = bucket_size(n_cur)
-        arr = np.zeros((b, 3), np.int32)
-        arr[:n_cur] = cur
-        coords = jnp.asarray(arr)
-        keys = coord_key(coords, jnp.arange(b) < n_cur)
-        pc, pk, occ, n_p = _down_step(coords, keys, b)
-        n_p = int(n_p)
-        pb = bucket_size(n_p)
-        pc, pk, occ = pc[:pb], pk[:pb], occ[:pb]
-        code = _feat_step(pc, pk)
-        levels.append(
-            LevelData(
-                coords=np.asarray(pc),
-                occ=np.asarray(occ).astype(np.uint8),
-                feat_code=np.asarray(code).astype(np.int32),
-                n=n_p,
-            )
-        )
-        last = n_p < min_point_num or s_idx == max_levels - 1
-        if last:
-            low = np.asarray(pc)[:n_p]
-            break
-        cur = np.asarray(pc)[:n_p]
-        n_cur = n_p
+    ctx = _geom_scope()
+    with ctx:
+      for s_idx in range(max_levels):
+          b = bucket_size(n_cur)
+          arr = np.zeros((b, 3), np.int32)
+          arr[:n_cur] = cur
+          coords = jnp.asarray(arr)
+          keys = coord_key(coords, jnp.arange(b) < n_cur)
+          pc, pk, occ, n_p = _down_step(coords, keys, b)
+          n_p = int(n_p)
+          pb = bucket_size(n_p)
+          pc, pk, occ = pc[:pb], pk[:pb], occ[:pb]
+          code = _feat_step(pc, pk)
+          levels.append(
+              LevelData(
+                  coords=np.asarray(pc),
+                  occ=np.asarray(occ).astype(np.uint8),
+                  feat_code=np.asarray(code).astype(np.int32),
+                  n=n_p,
+              )
+          )
+          last = n_p < min_point_num or s_idx == max_levels - 1
+          if last:
+              low = np.asarray(pc)[:n_p]
+              break
+          cur = np.asarray(pc)[:n_p]
+          n_cur = n_p
 
     # Base-layer size estimate (parity with custom_dataset.py:326-341).
     bitdepth_q = int(np.ceil(np.log2(low.max() + 1))) if low.size else 1

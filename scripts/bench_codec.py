@@ -1,0 +1,84 @@
+"""Benchmark the production encode/decode paths (s/frame).
+
+Reference baselines (RTX 3090, loot; BASELINE.md): encode ~0.42-0.44
+s/frame, decode ~0.44-0.46 s/frame (codec path, excluding overfitting).
+
+Usage:
+    python scripts/bench_codec.py [--points 800000] [--frames 4] [--runs 2]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=800000)
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--depth", type=int, default=10)
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+    from linr_pcgc_tpu.data import synthetic_cloud, PyramidDataset
+    from linr_pcgc_tpu.models import ModelConfig, init_params
+    from linr_pcgc_tpu.runtime.codec import encode_gop_streams, decode_gop_streams
+
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+    frames = [
+        synthetic_cloud(args.points, depth=args.depth, seed=7, phase=0.08 * t)
+        for t in range(args.frames)
+    ]
+    ds = PyramidDataset(frames, handle_dir=None)
+    ds[0]
+    pyrs = [ds[i] for i in range(args.frames)]
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    # warmup (compiles)
+    t0 = time.time()
+    blobs, bits = encode_gop_streams(params, cfg, pyrs)
+    print(f"encode warmup {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    t0 = time.time()
+    dec = decode_gop_streams(params, cfg, blobs, [p.low_coords for p in pyrs])
+    print(f"decode warmup {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    for d, f in zip(dec, frames):
+        gt = np.unique(f - f.min(axis=0), axis=0)
+        assert np.array_equal(d, gt), "lossless check failed"
+
+    t0 = time.time()
+    for _ in range(args.runs):
+        encode_gop_streams(params, cfg, pyrs)
+    enc_s = (time.time() - t0) / (args.runs * args.frames)
+    t0 = time.time()
+    for _ in range(args.runs):
+        decode_gop_streams(params, cfg, blobs, [p.low_coords for p in pyrs])
+    dec_s = (time.time() - t0) / (args.runs * args.frames)
+
+    points = sum(p.point_num for p in pyrs)
+    print(
+        json.dumps(
+            {
+                "enc_s_per_frame": round(enc_s, 4),
+                "dec_s_per_frame": round(dec_s, 4),
+                "enc_vs_3090": round(0.43 / enc_s, 2),
+                "dec_vs_3090": round(0.45 / dec_s, 2),
+                "bpp_untrained": round(bits / points, 3),
+                "points": points,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
