@@ -197,23 +197,36 @@ halo_exchange.defvjp(_halo_fwd, _halo_bwd)
 def _bconv3(x, geom, p):
     """Brick k^3 conv: halo exchange + one dense matmul + bias + slot mask.
 
-    x: (Bb, Cin, 64); geom: dict with 'nbr27' (Bb, 27) and 'mask'
-    (Bb, 1, 64) float; p: {'w': (27, Cin, Cout), 'b': (Cout,)}.
+    x: (Bb, Cin, 64); geom: dict with 'nbr27' (Bb, 27), 'mask'
+    (Bb, 1, 64) float and 'dtype' (compute dtype); p: {'w': (27, Cin,
+    Cout), 'b': (Cout,)}.  Mixed precision: activations/halos/matmuls run
+    in geom['dtype'] (bf16 halves the gather bytes and runs the MXU at
+    full rate), accumulation in f32, output cast back to the compute
+    dtype.  The production codec path uses f32 throughout.
     """
+    dt = geom.get("dtype", F32)
     bb, cin, _ = x.shape
     cout = p["w"].shape[2]
-    halo = halo_exchange(x, geom["nbr27"]).reshape(bb, cin * HALO_SLOTS)
-    w2 = conv_weight_matrix(p["w"])
-    y = jnp.dot(halo, w2, precision=_PREC, preferred_element_type=F32)
+    halo = halo_exchange(x.astype(dt), geom["nbr27"]).reshape(bb, cin * HALO_SLOTS)
+    w2 = conv_weight_matrix(p["w"]).astype(dt)
+    prec = _PREC if dt == F32 else jax.lax.Precision.DEFAULT
+    # (bf16 path: output in bf16 — the result is cast to dt below anyway,
+    # and CPU's dot kernel lacks BF16xBF16->F32)
+    acc = F32 if dt == F32 else dt
+    y = jnp.dot(halo, w2, precision=prec, preferred_element_type=acc)
     y = y.reshape(bb, cout, SLOTS) + p["b"][None, :, None]
-    return y * geom["mask"]
+    return (y * geom["mask"]).astype(dt)
 
 
 def _bconv1(x, geom, p):
+    dt = geom.get("dtype", F32)
+    prec = _PREC if dt == F32 else jax.lax.Precision.DEFAULT
+    acc = F32 if dt == F32 else dt
     y = jnp.einsum(
-        "bcs,co->bos", x, p["w"], precision=_PREC, preferred_element_type=F32
+        "bcs,co->bos", x.astype(dt), p["w"].astype(dt),
+        precision=prec, preferred_element_type=acc,
     ) + p["b"][None, :, None]
-    return y * geom["mask"]
+    return (y * geom["mask"]).astype(dt)
 
 
 def _brelu(x):
@@ -328,8 +341,11 @@ def brick_forward_all_stages(params, cfg: ModelConfig, geom, occ_t, level_slices
 
 
 def brick_training_bits(params, cfg: ModelConfig, geom, occ_t, level_slices):
-    """Masked sum-BCE/ln2 over occupied slots (equals the voxel loss)."""
-    logits = brick_forward_all_stages(params, cfg, geom, occ_t, level_slices)
+    """Masked sum-BCE/ln2 over occupied slots (equals the voxel loss).
+    The BCE itself is always f32 regardless of the compute dtype."""
+    logits = brick_forward_all_stages(
+        params, cfg, geom, occ_t, level_slices
+    ).astype(F32)
     occ = jnp.moveaxis(occ_t, 1, 0)  # (8, Bb, 64)
     bce = (
         jnp.maximum(logits, 0.0)

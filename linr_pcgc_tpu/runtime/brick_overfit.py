@@ -105,27 +105,35 @@ def assemble_gop_bricks(pyramids: list[FramePyramid]) -> BrickGopBatch:
     )
 
 
-def brick_frame_loss(params, cfg: ModelConfig, fd: dict, level_slices):
+def brick_frame_loss(params, cfg: ModelConfig, fd: dict, level_slices,
+                     compute_dtype=jnp.float32):
     geom = dict(
         nbr27=fd["nbr27"],
-        mask=fd["mask"].astype(F32)[:, None, :],
+        mask=fd["mask"].astype(compute_dtype)[:, None, :],
         code=fd["code"],
+        dtype=compute_dtype,
     )
     bits = brick_training_bits(
-        params, cfg, geom, fd["occ"].astype(F32), level_slices
+        params, cfg, geom, fd["occ"].astype(compute_dtype), level_slices
     )
     return bits / fd["point_num"]
 
 
-def make_epoch_fn_bricks(cfg: ModelConfig, tc: TrainConfig, level_slices):
+def make_epoch_fn_bricks(cfg: ModelConfig, tc: TrainConfig, level_slices,
+                         compute_dtype=jnp.bfloat16):
     """Same contract as overfit.make_epoch_fn, over a BrickGopBatch's
     arrays (see overfit.make_epoch_fn for why the frame loop is on the
-    host)."""
+    host).
+
+    ``compute_dtype`` defaults to bfloat16: parameters and the Adam state
+    stay f32 (mixed precision), activations/halos/matmuls run at bf16 —
+    half the gather bytes and full MXU rate.  Pass float32 for
+    bit-faithful parity studies (the codec path is always f32)."""
 
     @jax.jit
     def frame_step(params, opt, lr, k, fd):
         loss, grads = jax.value_and_grad(
-            lambda p: brick_frame_loss(p, cfg, fd, level_slices)
+            lambda p: brick_frame_loss(p, cfg, fd, level_slices, compute_dtype)
         )(params)
         params, opt = adam_frame_update(params, opt, lr, grads, tc)
         k = k + 1

@@ -170,7 +170,8 @@ def test_brick_training_reduces_loss_and_tracks_gather_training():
     params0 = init_params(jax.random.PRNGKey(2), cfg)
 
     bb = assemble_gop_bricks(pyrs)
-    epoch_b = make_epoch_fn_bricks(cfg, tc, bb.level_slices)
+    # f32 compute for comparison against the (f32) gather trainer
+    epoch_b = make_epoch_fn_bricks(cfg, tc, bb.level_slices, compute_dtype=jnp.float32)
     pb, ob = jax.tree_util.tree_map(jnp.copy, params0), adam_init(params0)
     lrb = jnp.asarray(tc.learning_rate, jnp.float32)
     kb = jnp.zeros((), jnp.int32)
@@ -200,3 +201,24 @@ def test_brick_training_reduces_loss_and_tracks_gather_training():
         np.asarray(flatten_params(pb)), np.asarray(flatten_params(pv)),
         rtol=5e-2, atol=5e-3,
     )
+
+
+def test_brick_training_bf16_converges():
+    """Mixed-precision (bf16 compute, f32 params/Adam) training works and
+    tracks the f32 loss closely at this scale."""
+    ds, pyrs = _gop(1, 1200)
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    tc = TrainConfig()
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    bb = assemble_gop_bricks(pyrs)
+    epoch = make_epoch_fn_bricks(cfg, tc, bb.level_slices)  # default bf16
+    p, o = params, adam_init(params)
+    lr = jnp.asarray(tc.learning_rate, jnp.float32)
+    k = jnp.zeros((), jnp.int32)
+    first = None
+    for _ in range(5):
+        p, o, lr, k, losses = epoch(p, o, lr, k, bb)
+        if first is None:
+            first = float(np.mean(np.asarray(losses)))
+    last = float(np.mean(np.asarray(losses)))
+    assert np.isfinite(last) and last < first * 0.9, (first, last)
