@@ -38,7 +38,7 @@ def main():
     backend = os.environ.get("BENCH_BACKEND", "bricks")
 
     log(f"devices: {jax.devices()}")
-    n_frames = int(os.environ.get("BENCH_FRAMES", "4"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "2"))
     n_points = int(os.environ.get("BENCH_POINTS", "800000"))
     frames = [
         synthetic_cloud(n_points, depth=10, seed=7, phase=0.08 * t)
@@ -75,7 +75,7 @@ def main():
     np.asarray(losses)
     log(f"epoch_fn compiled+run in {time.time()-t0:.1f}s; loss={float(np.mean(np.asarray(losses))):.4f}")
 
-    n_epochs = int(os.environ.get("BENCH_EPOCHS", "3"))
+    n_epochs = int(os.environ.get("BENCH_EPOCHS", "2"))
     st = time.time()
     for _ in range(n_epochs):
         params, opt, lr, k, losses = epoch_fn(params, opt, lr, k, arrays)
