@@ -109,12 +109,33 @@ def _selection_tensor():
 _SEL = jnp.asarray(_selection_tensor())  # (27, 64, 216)
 
 
+def _halo_row_perm(cin: int) -> np.ndarray:
+    """Row permutation mapping (c, h) standard order -> the flat halo's
+    (group, c, slot-within-group) lane order (the order halo_exchange
+    emits, avoiding any relayout of the big halo tensor)."""
+    perm = np.empty(cin * HALO_SLOTS, np.int32)
+    r = 0
+    for g in _GROUPS:
+        for c in range(cin):
+            for j in range(g["size"]):
+                perm[r] = c * HALO_SLOTS + (g["offset"] + j)
+                r += 1
+    return perm
+
+
+_PERM_CACHE = {}
+
+
 def conv_weight_matrix(w):
     """(27, Cin, Cout) kernel -> (Cin*216, Cout*64) dense brick-conv
-    matrix (trace-time einsum over the static selection tensor)."""
+    matrix (trace-time einsum over the static selection tensor), with
+    rows permuted to the flat halo's (group, c, slot) lane order."""
     cin, cout = w.shape[1], w.shape[2]
     w2 = jnp.einsum("ksh,kco->chos", _SEL, w)  # (Cin, 216, Cout, 64)
-    return w2.reshape(cin * HALO_SLOTS, cout * SLOTS)
+    w2 = w2.reshape(cin * HALO_SLOTS, cout * SLOTS)
+    if cin not in _PERM_CACHE:
+        _PERM_CACHE[cin] = _halo_row_perm(cin)
+    return w2[_PERM_CACHE[cin]]
 
 
 # ------------------------------------------------------------ halo exchange --
@@ -139,36 +160,54 @@ def _gather_rows(frag, nbr_col):
 
 
 def _halo_forward(x, nbr27):
+    """Returns the FLAT halo (Bb, C*216) in (group, c, slot) lane order —
+    concatenating already-flat fragments avoids a relayout of the big
+    halo tensor before the conv matmul (whose weight rows are permuted to
+    match, see conv_weight_matrix)."""
+    bb = x.shape[0]
     parts = []
     for k, g in enumerate(_GROUPS):
         if g["d"] == (0, 0, 0):
-            parts.append(x)
+            parts.append(x.reshape(bb, -1))
         else:
-            parts.append(_gather_rows(_frag_src(x, g), nbr27[:, k]))
-    return jnp.concatenate(parts, axis=2)  # (Bb, C, 216)
+            parts.append(
+                _gather_rows(_frag_src(x, g), nbr27[:, k]).reshape(bb, -1)
+            )
+    return jnp.concatenate(parts, axis=1)  # (Bb, C*216)
 
 
 @jax.custom_vjp
 def halo_exchange(x, nbr27):
-    """(Bb, C, 64), (Bb, 27) -> (Bb, C, 216) group-ordered halo."""
+    """(Bb, C, 64), (Bb, 27) -> (Bb, C*216) flat group-ordered halo."""
     return _halo_forward(x, nbr27)
 
 
 def _halo_fwd(x, nbr27):
-    return _halo_forward(x, nbr27), nbr27
+    return _halo_forward(x, nbr27), (nbr27, x.shape[1])
 
 
-def _halo_bwd(nbr27, dh):
+def _flat_group(dh, g, cin):
+    """Slice group g from the flat (Bb, C*216) halo as (Bb, C, size)."""
+    start = 0
+    for gg in _GROUPS:
+        if gg is g:
+            break
+        start += cin * gg["size"]
+    bb = dh.shape[0]
+    return dh[:, start: start + cin * g["size"]].reshape(bb, cin, g["size"])
+
+
+def _halo_bwd(res, dh):
     """Fold: dx[src_box(d)] += gather(dh[group(-d)], nbr(d)) for each d.
 
     My fragment src(-d) was shipped to each neighbor at direction d (who
     filed it under group(-d)), so its gradient comes back by gathering
     that group from my d-neighbors.  Pure gathers — no scatter.
     """
+    nbr27, cin = res
     bb = dh.shape[0]
-    # self part
     g_self = next(g for g in _GROUPS if g["d"] == (0, 0, 0))
-    dx = dh[:, :, g_self["offset"]: g_self["offset"] + SLOTS]
+    dx = _flat_group(dh, g_self, cin)
     dx5 = _view5(dx)
     for k, g in enumerate(_GROUPS):
         d = g["d"]
@@ -177,15 +216,14 @@ def _halo_bwd(nbr27, dh):
         md = (-d[0], -d[1], -d[2])
         mk = _DIRS.index(md)
         gm = _GROUPS[mk]
-        piece = dh[:, :, gm["offset"]: gm["offset"] + gm["size"]]
-        piece = _gather_rows(piece, nbr27[:, k])
+        piece = _gather_rows(_flat_group(dh, gm, cin), nbr27[:, k])
         sx, sy, sz = gm["sx"], gm["sy"], gm["sz"]
         piece = piece.reshape(
-            bb, dx.shape[1], sx[1] - sx[0], sy[1] - sy[0], sz[1] - sz[0]
+            bb, cin, sx[1] - sx[0], sy[1] - sy[0], sz[1] - sz[0]
         )
         dx5 = dx5.at[:, :, sx[0]: sx[1], sy[0]: sy[1], sz[0]: sz[1]].add(piece)
     d_nbr = np.zeros(nbr27.shape, dtype=jax.dtypes.float0)
-    return dx5.reshape(bb, dx.shape[1], SLOTS), d_nbr
+    return dx5.reshape(bb, cin, SLOTS), d_nbr
 
 
 halo_exchange.defvjp(_halo_fwd, _halo_bwd)
@@ -207,7 +245,7 @@ def _bconv3(x, geom, p):
     dt = geom.get("dtype", F32)
     bb, cin, _ = x.shape
     cout = p["w"].shape[2]
-    halo = halo_exchange(x.astype(dt), geom["nbr27"]).reshape(bb, cin * HALO_SLOTS)
+    halo = halo_exchange(x.astype(dt), geom["nbr27"])  # (Bb, Cin*216) flat
     w2 = conv_weight_matrix(p["w"]).astype(dt)
     prec = _PREC if dt == F32 else jax.lax.Precision.DEFAULT
     # (bf16 path: output in bf16 — the result is cast to dt below anyway,

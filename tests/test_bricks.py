@@ -60,10 +60,19 @@ def test_halo_exchange_against_dense():
     c = 3
     x = rng.normal(size=(bb, c, SLOTS)).astype(np.float32)
     halo = np.asarray(halo_exchange(jnp.asarray(x), jnp.asarray(lev.nbr27)))
-    assert halo.shape == (bb, c, 216)
+    assert halo.shape == (bb, c * 216)
 
     # dense reference: place bricks in a dict and read 6^3 neighborhoods
-    from linr_pcgc_tpu.models.brick_network import _HALO_INDEX
+    from linr_pcgc_tpu.models.brick_network import _HALO_INDEX, _GROUPS
+
+    def flat_pos(cc, h):
+        # flat (group, c, slot) order of halo lane (c, h)
+        start = 0
+        for g in _GROUPS:
+            if g["offset"] <= h < g["offset"] + g["size"]:
+                return start + cc * g["size"] + (h - g["offset"])
+            start += c * g["size"]
+        raise AssertionError(h)
 
     bmap = {tuple(bcoord): i for i, bcoord in enumerate(lev.brick_coords)}
     for bi in range(min(bb, 10)):
@@ -79,7 +88,8 @@ def test_halo_exchange_against_dense():
                         expect = x[bmap[nb], :, s]
                     else:
                         expect = np.zeros(c, np.float32)
-                    np.testing.assert_array_equal(halo[bi, :, h], expect)
+                    got = np.array([halo[bi, flat_pos(cc, h)] for cc in range(c)])
+                    np.testing.assert_array_equal(got, expect)
 
 
 def test_halo_custom_vjp_matches_autodiff():
@@ -89,7 +99,7 @@ def test_halo_custom_vjp_matches_autodiff():
     bb = lev.n_bricks
     x = jnp.asarray(rng.normal(size=(bb, 4, SLOTS)).astype(np.float32))
     nbr = jnp.asarray(lev.nbr27)
-    cot = jnp.asarray(rng.normal(size=(bb, 4, 216)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(bb, 4 * 216)).astype(np.float32))
     g_custom = jax.grad(lambda x: jnp.sum(halo_exchange(x, nbr) * cot))(x)
     g_auto = jax.grad(lambda x: jnp.sum(_halo_forward(x, nbr) * cot))(x)
     np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_auto), rtol=1e-5, atol=1e-6)
