@@ -38,7 +38,7 @@ def main():
     backend = os.environ.get("BENCH_BACKEND", "bricks")
 
     log(f"devices: {jax.devices()}")
-    n_frames = int(os.environ.get("BENCH_FRAMES", "2"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "4"))
     n_points = int(os.environ.get("BENCH_POINTS", "800000"))
     frames = [
         synthetic_cloud(n_points, depth=10, seed=7, phase=0.08 * t)
