@@ -34,8 +34,9 @@ def main():
     from linr_pcgc_tpu.runtime import TrainConfig, assemble_gop, adam_init, make_epoch_fn
     from linr_pcgc_tpu.runtime.overfit import batch_arrays
     from linr_pcgc_tpu.runtime.brick_overfit import assemble_gop_bricks, make_epoch_fn_bricks
+    from linr_pcgc_tpu.runtime.sb_overfit import assemble_gop_superbricks, make_epoch_fn_sb
 
-    backend = os.environ.get("BENCH_BACKEND", "bricks")
+    backend = os.environ.get("BENCH_BACKEND", "sb")
 
     log(f"devices: {jax.devices()}")
     n_frames = int(os.environ.get("BENCH_FRAMES", "4"))
@@ -53,7 +54,12 @@ def main():
     t0 = time.time()
     cfg = ModelConfig(scale_num=ds.scale_num)
     tc = TrainConfig()
-    if backend == "bricks":
+    if backend == "sb":
+        batch = assemble_gop_superbricks(pyrs)
+        arrays = batch
+        log(f"gop assembled (superbricks) in {time.time()-t0:.1f}s; flat superbricks={batch.nbr27.shape[1]}")
+        epoch_fn = make_epoch_fn_sb(cfg, tc, batch.level_slices)
+    elif backend == "bricks":
         batch = assemble_gop_bricks(pyrs)
         arrays = batch
         log(f"gop assembled (bricks) in {time.time()-t0:.1f}s; flat bricks={batch.nbr27.shape[1]}")

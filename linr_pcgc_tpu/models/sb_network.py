@@ -1,0 +1,240 @@
+"""Stage-batched superbrick implementation of the occupancy network — the
+TPU hot path (v2, replacing models/brick_network.py as the default
+training backend; that one is kept for equivalence testing).
+
+Same math as models/network.py (the reference's LINR_PCGC_Model + CNP,
+/root/reference/models/model_core.py:19-81, upsample.py:37-217), two
+data-organization changes over the round-1 brick backend, both aimed at
+the measured bottleneck (gather row-rate, ~50M rows/s on v5e):
+
+  1. *Superbrick gathers* (ops/superbricks.py): halo exchange at 8^3
+     granularity (8x fewer gathered rows, 2-8KB rows = bandwidth-bound),
+     then a static sub-halo extraction down to the 4^3 sub-bricks whose
+     dense (M, C*216) x (C*216, O*64) matmul was measured at ~83% of MXU
+     peak in round 1.
+
+  2. *Stage batching*: the 8 CNP stages are data-independent given
+     x_glob (training feeds ground-truth occupancy, masked per stage
+     inside the executable — the encoder/decoder symmetry argument of
+     network.py), so all stages' convolutions run as ONE batched conv
+     with the stage axis folded next to channels: one halo exchange
+     serves 8 stages (8x fewer gather calls, 8x bigger rows).  The
+     per-stage ragged weights reuse network.stack_outer_blocks'
+     zero-padded stacking (mathematically exact).
+
+Activations are (Bb, S, C, 512): brick-major, static stage batch S,
+channels, dense superbrick slots on the lanes.  Unoccupied slots are
+kept exactly zero after every conv (+bias, masked), which makes the
+dense convolution equal to the reference's submanifold convolution.
+
+Rematerialization: conv outputs are tagged with checkpoint_name('act');
+training wraps the loss in jax.checkpoint(policy=save_only_these_names
+('act')), so the multi-GB halo / extraction temporaries are never saved
+for the backward pass — they are recomputed per conv from the saved
+activations (and folded back scatter-free, ops/superbricks.sb_halo VJP).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
+
+from .network import ModelConfig, _PREC, F32, LN2, stack_outer_blocks
+from ..ops.superbricks import (
+    SB_SLOTS,
+    SUB_HALO_VOL,
+    SUB_SLOTS,
+    sb_halo,
+    sb_extract,
+    sb_conv_weight_matrix,
+)
+
+ACT = "act"  # checkpoint_name tag for saved activations
+
+
+def _prec(dt):
+    return _PREC if dt == F32 else jax.lax.Precision.DEFAULT
+
+
+def _acc(dt):
+    # bf16 path: accumulate in the compute dtype (output is cast anyway,
+    # and CPU's dot kernel lacks BF16xBF16->F32)
+    return F32 if dt == F32 else dt
+
+
+def sbconv3(x, geom, w, b):
+    """Stage-batched 3^3 superbrick conv.
+
+    x: (Bb, S, C, 512); w: (S, 27, C, O) canonical kernel; b: (S, O).
+    One halo exchange at 8^3 over the merged (S*C) channel axis, static
+    sub-halo extraction, one batched MXU matmul per stage, output
+    re-assembled to superbrick slots, bias + slot mask.
+    Returns (Bb, S, O, 512), tagged as a saved activation.
+    """
+    dt = geom["dtype"]
+    bb, s, c, _ = x.shape
+    o = w.shape[-1]
+    xm = x.astype(dt).reshape(bb, s * c, SB_SLOTS)
+    h = sb_halo(xm, geom["nbr27"])                       # (Bb, S*C, 10,10,10)
+    ext = sb_extract(h).reshape(8, bb, s, c * SUB_HALO_VOL)
+    w2 = sb_conv_weight_matrix(w).astype(dt)             # (S, C*216, O*64)
+    y = jnp.einsum(
+        "pbsk,skn->pbsn", ext, w2,
+        precision=_prec(dt), preferred_element_type=_acc(dt),
+    )                                                    # (8, Bb, S, O*64)
+    # sub-brick p=(i,j,k in {0,4}) slot (x,y,z) -> superbrick slot
+    # ((i+x)<<6)|((j+y)<<3)|(k+z): static transpose
+    y = y.reshape(2, 2, 2, bb, s, o, 4, 4, 4)
+    y = jnp.transpose(y, (3, 4, 5, 0, 6, 1, 7, 2, 8)).reshape(
+        bb, s, o, SB_SLOTS
+    )
+    y = (y + b[None, :, :, None]) * geom["mask"]
+    return checkpoint_name(y.astype(dt), ACT)
+
+
+def sbconv1(x, geom, w, b):
+    """Stage-batched 1^3 conv: x (Bb, S, C, 512), w (S, C, O), b (S, O)."""
+    dt = geom["dtype"]
+    y = jnp.einsum(
+        "bscv,sco->bsov", x.astype(dt), w.astype(dt),
+        precision=_prec(dt), preferred_element_type=_acc(dt),
+    )
+    y = (y + b[None, :, :, None]) * geom["mask"]
+    return y.astype(dt)
+
+
+def _relu(x):
+    return jnp.maximum(x, 0.0)
+
+
+def _sb_irn(x, geom, p):
+    """InceptionResNet (resnet.py:7-60), stage-batched."""
+    out0 = sbconv3(
+        _relu(sbconv3(x, geom, p["c00"]["w"], p["c00"]["b"])),
+        geom, p["c01"]["w"], p["c01"]["b"],
+    )
+    out1 = sbconv1(
+        _relu(
+            sbconv3(
+                _relu(sbconv1(x, geom, p["c10"]["w"], p["c10"]["b"])),
+                geom, p["c11"]["w"], p["c11"]["b"],
+            )
+        ),
+        geom, p["c12"]["w"], p["c12"]["b"],
+    )
+    return jnp.concatenate([out0, out1], axis=2) + x
+
+
+def _sb_block(x, geom, p):
+    """make_block (upsample.py:88-97): conv -> relu -> IRN -> conv."""
+    y = _relu(sbconv3(x, geom, p["conv_in"]["w"], p["conv_in"]["b"]))
+    y = _sb_irn(y, geom, p["irn"])
+    return sbconv3(y, geom, p["conv_out"]["w"], p["conv_out"]["b"])
+
+
+def _sb_mlp2(x, geom, l0, l1):
+    return sbconv1(
+        _relu(sbconv1(x, geom, l0["w"], l0["b"])), geom, l1["w"], l1["b"]
+    )
+
+
+def _stack1(tree):
+    """Add a leading S=1 stage axis to every leaf."""
+    return jax.tree_util.tree_map(lambda a: a[None], tree)
+
+
+def sb_input_features(params, cfg: ModelConfig, geom, level_slices):
+    """Per-slot input embedding: per-level scale MLP over
+    [scale embedding ++ 7 neighbor-occupancy bit planes]
+    (model_core.py:31-34,46-57).  Levels are static contiguous segments
+    of the superbrick axis.  Returns (Bb, 1, ch, 512)."""
+    dt = geom["dtype"]
+    code = geom["code"]  # (Bb, 512) int32, scale*128+feat, -1 empty
+    feat = code & 127
+    bits = jnp.stack(
+        [((feat >> k) & 1).astype(dt) for k in range(cfg.in_channel)], axis=1
+    )  # (Bb, 7, 512)
+    bits = bits * geom["mask"][:, 0]
+    parts = []
+    for s, (a, b) in enumerate(level_slices):
+        seg_geom = dict(geom, mask=geom["mask"][a:b])
+        emb = params["scale_emb"][s].astype(dt)  # (emb,)
+        seg = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    emb[None, :, None], (b - a, emb.shape[0], SB_SLOTS)
+                )
+                * seg_geom["mask"][:, 0],
+                bits[a:b],
+            ],
+            axis=1,
+        )[:, None]  # (seg, 1, 15, 512)
+        l0 = _stack1(
+            jax.tree_util.tree_map(lambda x: x[s], params["scale_mlp"]["l0"])
+        )
+        l1 = _stack1(
+            jax.tree_util.tree_map(lambda x: x[s], params["scale_mlp"]["l1"])
+        )
+        parts.append(_sb_mlp2(seg, seg_geom, l0, l1))
+    return jnp.concatenate(parts, axis=0)  # (Bb, 1, ch, 512)
+
+
+def sb_forward_all_stages(params, cfg: ModelConfig, geom, occ_t, level_slices):
+    """Logits (Bb, 8, 512).  occ_t: (Bb, 8, 512) ground truth in the
+    compute dtype.
+
+    All 8 stages in one batched pass: stage j's context block sees
+    occupancy channels 0..j-1 (channel c masked by c < j — the same
+    in-executable masking as network.stage_context_traced, so encoder
+    ground truth and decoder partial buffers produce identical values).
+    """
+    dt = geom["dtype"]
+    k = cfg.outstage - 1  # 7
+
+    intensor = sb_input_features(params, cfg, geom, level_slices)
+    x_glob = _sb_block(intensor, geom, _stack1(params["block_in"]))
+
+    occ7 = occ_t[:, :k, :]  # (Bb, 7, 512)
+    # occ_b[:, j, c, :] = occ7[:, c, :] * (c <= j)  (stage j+1's context)
+    tri = (
+        jnp.arange(k)[:, None] >= jnp.arange(k)[None, :]
+    ).astype(dt)  # (7, 7) lower-triangular
+    occ_b = occ7[:, None, :, :] * tri[None, :, :, None]  # (Bb, 7, 7, 512)
+    occ_b = occ_b * geom["mask"]
+
+    st = stack_outer_blocks(params, cfg)
+    outer = {
+        "conv_in": {"w": st["conv_in_w"], "b": st["conv_in_b"]},
+        "irn": st["irn"],
+        "conv_out": st["conv_out"],
+    }
+    ctx = _sb_block(occ_b, geom, outer)  # (Bb, 7, ch, 512)
+    ctx_full = (
+        jnp.concatenate([jnp.zeros_like(ctx[:, :1]), ctx], axis=1) + x_glob
+    )  # (Bb, 8, ch, 512); stage 0 = x_glob alone (upsample.py:204-214)
+
+    h = sbconv3(ctx_full, geom, params["prune"]["w"], params["prune"]["b"])
+    logits = _sb_mlp2(
+        h,
+        geom,
+        {"w": params["inner_mlp"]["l0"]["w"], "b": params["inner_mlp"]["l0"]["b"]},
+        {"w": params["inner_mlp"]["l1"]["w"], "b": params["inner_mlp"]["l1"]["b"]},
+    )  # (Bb, 8, 1, 512)
+    return logits[:, :, 0, :]
+
+
+def sb_training_bits(params, cfg: ModelConfig, geom, occ_t, level_slices):
+    """Masked sum-BCE/ln2 over occupied slots (equals the voxel loss,
+    model_core.py:77-80).  The BCE itself is always f32."""
+    logits = sb_forward_all_stages(
+        params, cfg, geom, occ_t.astype(geom["dtype"]), level_slices
+    ).astype(F32)
+    occ = occ_t.astype(F32)
+    bce = (
+        jnp.maximum(logits, 0.0)
+        - logits * occ
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+    bce = bce * geom["mask"][:, 0].astype(F32)
+    return jnp.sum(bce) / LN2

@@ -1,0 +1,219 @@
+"""Superbrick (8^3) backend tests: construction, halo exchange against a
+dense brute force, VJP correctness of the scatter-free fold, and exact
+per-voxel equivalence of the stage-batched network with both the brick
+backend and the flat gather network."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from linr_pcgc_tpu.data import synthetic_cloud, PyramidDataset
+from linr_pcgc_tpu.models import ModelConfig, init_params
+from linr_pcgc_tpu.models.brick_network import brick_forward_all_stages
+from linr_pcgc_tpu.models.sb_network import sb_forward_all_stages
+from linr_pcgc_tpu.ops.superbricks import (
+    SB_SLOTS,
+    build_superbrick_level,
+    sb_halo,
+    sb_extract,
+    sb_conv_weight_matrix,
+)
+from linr_pcgc_tpu.runtime.brick_overfit import assemble_gop_bricks
+from linr_pcgc_tpu.runtime.sb_overfit import (
+    assemble_gop_superbricks,
+    sb_frame_loss,
+    make_epoch_fn_sb,
+)
+from linr_pcgc_tpu.runtime import TrainConfig, adam_init
+from linr_pcgc_tpu.runtime.brick_overfit import (
+    brick_frame_loss,
+    make_epoch_fn_bricks,
+)
+
+
+def _rand_level(seed, span=24, n=400):
+    rng = np.random.default_rng(seed)
+    pts = np.unique(rng.integers(0, span, (n, 3), dtype=np.int32), axis=0)
+    m = len(pts)
+    occ = (rng.uniform(size=(m, 8)) < 0.4).astype(np.uint8)
+    code = rng.integers(0, 128, m).astype(np.int32)
+    return pts, occ, code
+
+
+def test_build_superbrick_level_roundtrip():
+    pts, occ, code = _rand_level(0)
+    lev = build_superbrick_level(pts, occ, code, scale_idx=3)
+    bc = lev.brick_coords[lev.voxel_brick]
+    s = lev.voxel_slot
+    rec = bc * 8 + np.stack([s >> 6, (s >> 3) & 7, s & 7], axis=1)
+    np.testing.assert_array_equal(rec, pts)
+    assert (lev.scale_code >= 0).sum() == len(pts)
+    assert np.all(lev.scale_code[lev.voxel_brick, s] == 3 * 128 + code)
+    np.testing.assert_array_equal(lev.occ[lev.voxel_brick, :, s], occ)
+    np.testing.assert_array_equal(lev.nbr27[:, 13], np.arange(lev.n_bricks))
+
+
+def test_sb_halo_against_dense():
+    """10^3 halo content equals a brute-force dense neighborhood read."""
+    pts, occ, code = _rand_level(1, span=32, n=900)
+    lev = build_superbrick_level(pts, occ, code, 0)
+    bb = lev.n_bricks
+    c = 3
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(bb, c, SB_SLOTS)).astype(np.float32)
+    halo = np.asarray(sb_halo(jnp.asarray(x), jnp.asarray(lev.nbr27)))
+    assert halo.shape == (bb, c, 10, 10, 10)
+
+    xv = x.reshape(bb, c, 8, 8, 8)
+    bmap = {tuple(bc): i for i, bc in enumerate(lev.brick_coords)}
+    for bi in range(min(bb, 12)):
+        base = lev.brick_coords[bi].astype(int)
+        for hx in range(10):
+            for hy in range(10):
+                for hz in range(10):
+                    gx, gy, gz = base * 8 + np.array([hx, hy, hz]) - 1
+                    nb = bmap.get((gx // 8, gy // 8, gz // 8))
+                    want = (
+                        0.0
+                        if nb is None or min(gx, gy, gz) < 0
+                        else xv[nb, :, gx % 8, gy % 8, gz % 8]
+                    )
+                    np.testing.assert_allclose(
+                        halo[bi, :, hx, hy, hz], want, atol=0
+                    )
+
+
+def test_sb_halo_vjp_matches_autodiff_of_forward():
+    """The scatter-free fold equals autodiff of the raw forward."""
+    from linr_pcgc_tpu.ops.superbricks import _halo_forward
+
+    pts, occ, code = _rand_level(3, span=32, n=700)
+    lev = build_superbrick_level(pts, occ, code, 0)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(lev.n_bricks, 2, SB_SLOTS)), jnp.float32)
+    nbr = jnp.asarray(lev.nbr27)
+    ct = jnp.asarray(
+        rng.normal(size=(lev.n_bricks, 2, 10, 10, 10)), jnp.float32
+    )
+    g_custom = jax.vjp(lambda a: sb_halo(a, nbr), x)[1](ct)[0]
+    g_auto = jax.vjp(lambda a: _halo_forward(a, nbr), x)[1](ct)[0]
+    np.testing.assert_allclose(
+        np.asarray(g_custom), np.asarray(g_auto), atol=1e-5
+    )
+
+
+def test_sb_extract_and_weight_matrix_reproduce_conv():
+    """extraction + W2 matmul == direct dense 3^3 convolution."""
+    pts, occ, code = _rand_level(5, span=24, n=500)
+    lev = build_superbrick_level(pts, occ, code, 0)
+    rng = np.random.default_rng(6)
+    cin, cout = 3, 2
+    x = rng.normal(size=(lev.n_bricks, cin, SB_SLOTS)).astype(np.float32)
+    w = rng.normal(size=(27, cin, cout)).astype(np.float32)
+
+    halo = sb_halo(jnp.asarray(x), jnp.asarray(lev.nbr27))
+    ext = sb_extract(halo).reshape(8, lev.n_bricks, cin * 216)
+    w2 = sb_conv_weight_matrix(jnp.asarray(w))
+    y = np.asarray(jnp.einsum("pbk,kn->pbn", ext, w2))  # (8, Bb, cout*64)
+
+    # brute force at a few voxels
+    hv = np.asarray(halo)
+    dirs = [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1) for c in (-1, 0, 1)]
+    for vi in range(0, lev.n_vox, max(1, lev.n_vox // 20)):
+        b, s = lev.voxel_brick[vi], lev.voxel_slot[vi]
+        lx, ly, lz = s >> 6, (s >> 3) & 7, s & 7
+        want = np.zeros(cout)
+        for k, (dx, dy, dz) in enumerate(dirs):
+            want += hv[b, :, lx + dx + 1, ly + dy + 1, lz + dz + 1] @ w[k]
+        p = ((lx >= 4) << 2) | ((ly >= 4) << 1) | (lz >= 4)
+        s64 = ((lx % 4) << 4) | ((ly % 4) << 2) | (lz % 4)
+        got = y[p, b].reshape(cout, 64)[:, s64]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def _gop(n_frames=2, n_points=2300, depth=6):
+    frames = [synthetic_cloud(n_points, depth=depth, seed=s) for s in range(n_frames)]
+    ds = PyramidDataset(frames, handle_dir=None)
+    ds[0]
+    return [ds[i] for i in range(n_frames)], ds.scale_num
+
+
+def test_sb_network_matches_brick_network():
+    """Per-voxel logits of the stage-batched superbrick forward equal the
+    4^3 brick backend's (f32, same canonical params)."""
+    pyrs, s_num = _gop()
+    cfg = ModelConfig(scale_num=s_num)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    bb = assemble_gop_bricks(pyrs)
+    sb = assemble_gop_superbricks(pyrs)
+
+    for f in range(len(pyrs)):
+        geom_b = dict(
+            nbr27=bb.nbr27[f],
+            mask=bb.mask[f].astype(jnp.float32)[:, None, :],
+            code=bb.code[f],
+            dtype=jnp.float32,
+        )
+        logits_b = np.asarray(
+            brick_forward_all_stages(
+                params, cfg, geom_b, bb.occ[f].astype(jnp.float32),
+                bb.level_slices,
+            )
+        )  # (8, Bb4, 64)
+        mask_s = (sb.code[f] >= 0).astype(jnp.float32)[:, None, None, :]
+        geom_s = dict(
+            nbr27=sb.nbr27[f], mask=mask_s, code=sb.code[f], dtype=jnp.float32
+        )
+        logits_s = np.asarray(
+            sb_forward_all_stages(
+                params, cfg, geom_s, sb.occ[f].astype(jnp.float32),
+                sb.level_slices,
+            )
+        )  # (Bb8, 8, 512)
+
+        # compare on voxels via each layout's (brick, slot) maps
+        from linr_pcgc_tpu.ops.bricks import build_brick_level
+        from linr_pcgc_tpu.ops.superbricks import build_superbrick_level
+
+        p = pyrs[f]
+        off4 = off8 = 0
+        for s in range(s_num):
+            lev = p.levels[s]
+            l4 = build_brick_level(
+                lev.coords[: lev.n], lev.occ[: lev.n], lev.feat_code[: lev.n], s
+            )
+            l8 = build_superbrick_level(
+                lev.coords[: lev.n], lev.occ[: lev.n], lev.feat_code[: lev.n], s
+            )
+            a4 = bb.level_slices[s][0]
+            a8 = sb.level_slices[s][0]
+            v4 = logits_b[:, a4 + l4.voxel_brick, l4.voxel_slot]  # (8, n)
+            v8 = logits_s[a8 + l8.voxel_brick, :, l8.voxel_slot].T  # (8, n)
+            np.testing.assert_allclose(v4, v8, rtol=2e-4, atol=2e-4)
+
+
+def test_sb_training_matches_brick_training():
+    """A few epochs of sb training reach the same losses as the brick
+    trainer (f32 compute, identical Adam/StepLR semantics)."""
+    pyrs, s_num = _gop()
+    cfg = ModelConfig(scale_num=s_num)
+    tc = TrainConfig()
+    params = init_params(jax.random.PRNGKey(1), cfg)
+
+    bb = assemble_gop_bricks(pyrs)
+    sb = assemble_gop_superbricks(pyrs)
+
+    pb = ps = params
+    ob = adam_init(pb)
+    os_ = adam_init(ps)
+    fb = make_epoch_fn_bricks(cfg, tc, bb.level_slices, compute_dtype=jnp.float32)
+    fs = make_epoch_fn_sb(cfg, tc, sb.level_slices, compute_dtype=jnp.float32)
+    lrb = lrs = jnp.asarray(tc.learning_rate, jnp.float32)
+    kb = ks = jnp.zeros((), jnp.int32)
+    for _ in range(3):
+        pb, ob, lrb, kb, lb = fb(pb, ob, lrb, kb, bb)
+        ps, os_, lrs, ks, ls = fs(ps, os_, lrs, ks, sb)
+        np.testing.assert_allclose(
+            np.asarray(lb), np.asarray(ls), rtol=2e-4, atol=2e-4
+        )
