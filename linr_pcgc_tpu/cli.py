@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--check_freq", type=int, default=5)
     p.add_argument("--resume", type=str, default="False",
                    help="continue an interrupted GOP from its own checkpoint")
+    p.add_argument("--devices", type=int, default=1,
+                   help="frame-data-parallel training over N chips "
+                        "(1 = sequential parity trainer)")
     p.add_argument("--ori_dir", type=str, default="test_pc")
     p.add_argument("--ori_dtype", type=str, default="ply")
     p.add_argument("--handle_dir", type=str, default="tmp/test_pc")
@@ -78,6 +81,33 @@ def gop_groups(frame_num: int, gop_size: int):
     ]
 
 
+def decode_standalone(args, logger) -> None:
+    """Decode every GOP found under ``encode_dir`` from the bitstreams
+    alone: no original dataset, model config from side_info.json
+    (reference decoder independence, /root/reference/decoder.py:16-150)."""
+    import glob as globmod
+
+    gop_dirs = sorted(
+        d
+        for d in globmod.glob(os.path.join(args.encode_dir, "gop_*"))
+        if os.path.isdir(os.path.join(d, "bins"))
+    )
+    if not gop_dirs:
+        raise FileNotFoundError(f"no gop_* bitstreams under {args.encode_dir}")
+    for enc_dir in gop_dirs:
+        name = os.path.basename(enc_dir)
+        start = int(name.split("_")[1])
+        decode_gop(
+            enc_dir,
+            args.decode_dir,
+            cfg=None,
+            gop_start_idx=start,
+            write_flag=True,
+            logger=logger,
+        )
+        logger.info(f"{name}: decoded standalone")
+
+
 def run(args, logger=None) -> None:
     """The overfit/encode/decode driver (reference ``overfit_enc_dec``,
     main.py:69-119)."""
@@ -86,6 +116,17 @@ def run(args, logger=None) -> None:
         if not logger.handlers:
             logger.addHandler(logging.StreamHandler(sys.stdout))
             logger.setLevel(logging.INFO)
+
+    # decode-only without the original dataset: run from bitstreams alone
+    if (
+        args.decode == "True"
+        and args.overfit != "True"
+        and args.encode != "True"
+        and args.mid_test != "True"
+        and not os.path.exists(args.ori_dir)
+    ):
+        decode_standalone(args, logger)
+        return
 
     dataset = PyramidDataset(
         args.ori_dir,
@@ -142,6 +183,7 @@ def run(args, logger=None) -> None:
                 write_real_bitstream=args.write_real_bitstream == "True",
                 handle_dir=args.handle_dir,
                 resume=args.resume == "True",
+                devices=args.devices,
                 logger=logger,
             )
             if g_idx == 0:

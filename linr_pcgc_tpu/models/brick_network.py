@@ -281,9 +281,27 @@ def _birn(x, geom, p):
     return jnp.concatenate([out0, out1], axis=1) + x
 
 
+def _bresnet(x, geom, p):
+    """resnet.py:88-94: x + conv3(relu(conv3(x)))."""
+    return x + _bconv3(_brelu(_bconv3(x, geom, p["r0"])), geom, p["r1"])
+
+
+def _bblock_core(y, geom, p):
+    """ResNetBlock (resnet.py:146-162): stacked cores + outer skip when >1;
+    layer kind dispatched on parameter keys (cf. network._block_core)."""
+    if "irn" in p:
+        return _birn(y, geom, p["irn"])
+    out = y
+    for lp in p["core"]:
+        out = _birn(out, geom, lp) if "c00" in lp else _bresnet(out, geom, lp)
+    if len(p["core"]) > 1:
+        out = out + y
+    return out
+
+
 def _bblock(x, geom, p):
     y = _brelu(_bconv3(x, geom, p["conv_in"]))
-    y = _birn(y, geom, p["irn"])
+    y = _bblock_core(y, geom, p)
     return _bconv3(y, geom, p["conv_out"])
 
 

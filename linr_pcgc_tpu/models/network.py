@@ -69,6 +69,24 @@ class ModelConfig:
     block_layers: int = 1
     outstage: int = 8
     kernel_size: int = 3  # model_core2 variant: plumb k through every block
+    # Residual-core type inside blocks (resnet.py:146-162 ResNetBlock).
+    # The reference CLI can only ever produce 'inception' (CNP never passes
+    # block_type); 'resnet' is supported here as the class exists upstream
+    # (resnet.py:63-94).  'dilation' (resnet.py:97-143) is rejected
+    # explicitly rather than silently misconfigured.
+    block_type: str = "inception"
+
+    def __post_init__(self):
+        if self.block_layers < 1:
+            raise ValueError(f"block_layers must be >= 1, got {self.block_layers}")
+        if self.block_type == "dilation":
+            raise NotImplementedError(
+                "block_type='dilation' (DilatedResNet, reference "
+                "resnet.py:97-143) is not implemented; use 'inception' or "
+                "'resnet'"
+            )
+        if self.block_type not in ("inception", "resnet"):
+            raise ValueError(f"unknown block_type {self.block_type!r}")
 
     @property
     def ch(self) -> int:
@@ -116,12 +134,36 @@ def _irn_init(key, ch, kvol=27):
     }
 
 
-def _block_init(key, cin, ch, cout, kvol=27):
-    """make_block (upsample.py:88-97): conv -> relu -> IRN -> conv."""
+def _resnet_init(key, ch, kvol=27):
+    """Plain residual block (resnet.py:63-94): conv3 -> relu -> conv3 + x."""
+    k0, k1 = jax.random.split(key)
+    return {
+        "r0": _conv_init(k0, kvol, ch, ch),
+        "r1": _conv_init(k1, kvol, ch, ch),
+    }
+
+
+def _block_init(key, cin, ch, cout, kvol=27, layers=1, block_type="inception"):
+    """make_block (upsample.py:88-97): conv -> relu -> ResNetBlock -> conv.
+
+    ResNetBlock (resnet.py:146-162) stacks ``layers`` residual cores and
+    adds an extra outer skip when layers > 1.  The single-inception case
+    keeps the flat {conv_in, irn, conv_out} parameter layout (the weight
+    bitstream's flattening order for the default config); the general case
+    stores the stack under "core"."""
     k0, k1, k2 = jax.random.split(key, 3)
+    core_init = _irn_init if block_type == "inception" else _resnet_init
+    if layers == 1 and block_type == "inception":
+        core = {"irn": _irn_init(k1, ch, kvol)}
+    else:
+        core = {
+            "core": tuple(
+                core_init(k, ch, kvol) for k in jax.random.split(k1, layers)
+            )
+        }
     return {
         "conv_in": _conv_init(k0, kvol, cin, ch),
-        "irn": _irn_init(k1, ch, kvol),
+        **core,
         "conv_out": _conv_init(k2, kvol, ch, cout),
     }
 
@@ -162,7 +204,12 @@ def init_params(key, cfg: ModelConfig):
     return {
         "scale_emb": jax.random.normal(keys[0], (S, emb), F32),  # torch default
         "scale_mlp": scale_mlp,
-        "block_in": _block_init(keys[3], ch, ch, ch, cfg.kvol),
+        # block_layers / block_type apply to block_in only: the reference's
+        # CNP passes block_layers just there (upsample.py:43) while outer /
+        # prune-path blocks hardcode 1-layer inception (upsample.py:60,74)
+        "block_in": _block_init(
+            keys[3], ch, ch, ch, cfg.kvol, cfg.block_layers, cfg.block_type
+        ),
         "prune": prune,
         "inner_mlp": inner_mlp,
         "outer": outer,
@@ -303,9 +350,28 @@ def _irn(x, idx_t, p):
     return jnp.concatenate([out0, out1], axis=0) + x
 
 
+def _resnet_core(x, idx_t, p):
+    """resnet.py:88-94: x + conv3(relu(conv3(x)))."""
+    return x + _conv3(_relu(_conv3(x, idx_t, p["r0"])), idx_t, p["r1"])
+
+
+def _block_core(y, idx_t, p):
+    """ResNetBlock (resnet.py:146-162): ``core`` layers stacked, extra
+    outer skip when >1.  Layer kind is dispatched on the parameter keys
+    (inception: c00..c12; resnet: r0/r1)."""
+    if "irn" in p:
+        return _irn(y, idx_t, p["irn"])
+    out = y
+    for lp in p["core"]:
+        out = _irn(out, idx_t, lp) if "c00" in lp else _resnet_core(out, idx_t, lp)
+    if len(p["core"]) > 1:
+        out = out + y
+    return out
+
+
 def _block(x, idx_t, p):
     y = _relu(_conv3(x, idx_t, p["conv_in"]))
-    y = _irn(y, idx_t, p["irn"])
+    y = _block_core(y, idx_t, p)
     return _conv3(y, idx_t, p["conv_out"])
 
 

@@ -43,11 +43,13 @@ from jax.ad_checkpoint import checkpoint_name
 from .network import ModelConfig, _PREC, F32, LN2, stack_outer_blocks
 from ..ops.superbricks import (
     SB_SLOTS,
+    SUB_HALO,
     SUB_HALO_VOL,
+    SUB_OFFSETS,
     SUB_SLOTS,
     sb_halo,
-    sb_extract,
     sb_conv_weight_matrix,
+    sb_yz_select,
 )
 
 ACT = "act"  # checkpoint_name tag for saved activations
@@ -67,25 +69,40 @@ def sbconv3(x, geom, w, b):
     """Stage-batched 3^3 superbrick conv.
 
     x: (Bb, S, C, 512); w: (S, 27, C, O) canonical kernel; b: (S, O).
-    One halo exchange at 8^3 over the merged (S*C) channel axis, static
-    sub-halo extraction, one batched MXU matmul per stage, output
-    re-assembled to superbrick slots, bias + slot mask.
+    One halo exchange at 8^3 over the merged (S*C) channel axis — in the
+    GROUP-ORDERED (Bb, SC, 10, 100) layout (ops/superbricks.py: no tensor
+    ever materializes spatial minor dims, the measured 8-16x TPU tile-pad
+    blow-up) — then a loop over the 8 static sub-brick offsets: x-slice +
+    (100, 36) yz-selection matmul extracts ONE (Bb, S, C*216) sub-halo
+    slab, immediately consumed by its batched MXU conv matmul before the
+    next slab is materialized.  Output is re-assembled to superbrick
+    slots, bias + slot mask.
     Returns (Bb, S, O, 512), tagged as a saved activation.
     """
     dt = geom["dtype"]
     bb, s, c, _ = x.shape
     o = w.shape[-1]
     xm = x.astype(dt).reshape(bb, s * c, SB_SLOTS)
-    h = sb_halo(xm, geom["nbr27"])                       # (Bb, S*C, 10,10,10)
-    ext = sb_extract(h).reshape(8, bb, s, c * SUB_HALO_VOL)
+    # The barrier forces ONE materialization of the halo.  Without it XLA
+    # fuses the 27 fragment gathers into each of the 8 extraction einsums
+    # (measured 65 ms vs 1.6 ms halo + 1.6 ms extractions at production
+    # level-0 shapes — a 20x regression from consumer-side refusion).
+    hv = jax.lax.optimization_barrier(sb_halo(xm, geom["nbr27"]))
     w2 = sb_conv_weight_matrix(w).astype(dt)             # (S, C*216, O*64)
-    y = jnp.einsum(
-        "pbsk,skn->pbsn", ext, w2,
-        precision=_prec(dt), preferred_element_type=_acc(dt),
-    )                                                    # (8, Bb, S, O*64)
+    ys = []
+    for (i, j, k) in SUB_OFFSETS:
+        ext_p = sb_yz_select(hv[:, :, i: i + SUB_HALO, :], j, k).reshape(
+            bb, s, c * SUB_HALO_VOL
+        )
+        ys.append(
+            jnp.einsum(
+                "bsk,skn->bsn", ext_p, w2,
+                precision=_prec(dt), preferred_element_type=_acc(dt),
+            )
+        )                                                # (Bb, S, O*64)
     # sub-brick p=(i,j,k in {0,4}) slot (x,y,z) -> superbrick slot
     # ((i+x)<<6)|((j+y)<<3)|(k+z): static transpose
-    y = y.reshape(2, 2, 2, bb, s, o, 4, 4, 4)
+    y = jnp.stack(ys).reshape(2, 2, 2, bb, s, o, 4, 4, 4)
     y = jnp.transpose(y, (3, 4, 5, 0, 6, 1, 7, 2, 8)).reshape(
         bb, s, o, SB_SLOTS
     )
@@ -126,10 +143,29 @@ def _sb_irn(x, geom, p):
     return jnp.concatenate([out0, out1], axis=2) + x
 
 
+def _sb_resnet(x, geom, p):
+    """resnet.py:88-94: x + conv3(relu(conv3(x))), stage-batched."""
+    h = _relu(sbconv3(x, geom, p["r0"]["w"], p["r0"]["b"]))
+    return x + sbconv3(h, geom, p["r1"]["w"], p["r1"]["b"])
+
+
+def _sb_block_core(y, geom, p):
+    """ResNetBlock (resnet.py:146-162): stacked cores + outer skip when >1;
+    layer kind dispatched on parameter keys (cf. network._block_core)."""
+    if "irn" in p:
+        return _sb_irn(y, geom, p["irn"])
+    out = y
+    for lp in p["core"]:
+        out = _sb_irn(out, geom, lp) if "c00" in lp else _sb_resnet(out, geom, lp)
+    if len(p["core"]) > 1:
+        out = out + y
+    return out
+
+
 def _sb_block(x, geom, p):
-    """make_block (upsample.py:88-97): conv -> relu -> IRN -> conv."""
+    """make_block (upsample.py:88-97): conv -> relu -> ResNetBlock -> conv."""
     y = _relu(sbconv3(x, geom, p["conv_in"]["w"], p["conv_in"]["b"]))
-    y = _sb_irn(y, geom, p["irn"])
+    y = _sb_block_core(y, geom, p)
     return sbconv3(y, geom, p["conv_out"]["w"], p["conv_out"]["b"])
 
 
@@ -148,7 +184,11 @@ def sb_input_features(params, cfg: ModelConfig, geom, level_slices):
     """Per-slot input embedding: per-level scale MLP over
     [scale embedding ++ 7 neighbor-occupancy bit planes]
     (model_core.py:31-34,46-57).  Levels are static contiguous segments
-    of the superbrick axis.  Returns (Bb, 1, ch, 512)."""
+    of the superbrick axis; ``level_slices`` entries are
+    (start, end, scale_idx) — the scale index is carried explicitly so a
+    level *group* (a contiguous sub-range of levels, see
+    runtime/sb_overfit's grouped gradient accumulation) can be processed
+    with correct per-scale parameters.  Returns (Bb, 1, ch, 512)."""
     dt = geom["dtype"]
     code = geom["code"]  # (Bb, 512) int32, scale*128+feat, -1 empty
     feat = code & 127
@@ -157,7 +197,7 @@ def sb_input_features(params, cfg: ModelConfig, geom, level_slices):
     )  # (Bb, 7, 512)
     bits = bits * geom["mask"][:, 0]
     parts = []
-    for s, (a, b) in enumerate(level_slices):
+    for (a, b, s) in level_slices:
         seg_geom = dict(geom, mask=geom["mask"][a:b])
         emb = params["scale_emb"][s].astype(dt)  # (emb,)
         seg = jnp.concatenate(
@@ -180,57 +220,84 @@ def sb_input_features(params, cfg: ModelConfig, geom, level_slices):
     return jnp.concatenate(parts, axis=0)  # (Bb, 1, ch, 512)
 
 
-def sb_forward_all_stages(params, cfg: ModelConfig, geom, occ_t, level_slices):
-    """Logits (Bb, 8, 512).  occ_t: (Bb, 8, 512) ground truth in the
-    compute dtype.
+def sb_forward_all_stages(params, cfg: ModelConfig, geom, occ_t, level_slices,
+                          stage_range=None):
+    """Logits (Bb, Sc, 512) for stages [a, b) (default: all 8).
+    occ_t: (Bb, 8, 512) ground truth in the compute dtype.
 
-    All 8 stages in one batched pass: stage j's context block sees
-    occupancy channels 0..j-1 (channel c masked by c < j — the same
+    Stages in the range run as one batched pass: stage j's context block
+    sees occupancy channels 0..j-1 (channel c masked by c < j — the same
     in-executable masking as network.stage_context_traced, so encoder
     ground truth and decoder partial buffers produce identical values).
+
+    ``stage_range`` exists because the loss decomposes over stages just
+    like over levels: the trainer accumulates gradients per
+    (level-group x stage-chunk) unit to bound peak HBM (the S axis scales
+    every halo/extraction temporary linearly).
     """
     dt = geom["dtype"]
     k = cfg.outstage - 1  # 7
+    a, b = (0, cfg.outstage) if stage_range is None else stage_range
 
     intensor = sb_input_features(params, cfg, geom, level_slices)
     x_glob = _sb_block(intensor, geom, _stack1(params["block_in"]))
 
-    occ7 = occ_t[:, :k, :]  # (Bb, 7, 512)
-    # occ_b[:, j, c, :] = occ7[:, c, :] * (c <= j)  (stage j+1's context)
-    tri = (
-        jnp.arange(k)[:, None] >= jnp.arange(k)[None, :]
-    ).astype(dt)  # (7, 7) lower-triangular
-    occ_b = occ7[:, None, :, :] * tri[None, :, :, None]  # (Bb, 7, 7, 512)
-    occ_b = occ_b * geom["mask"]
+    # context blocks j-1 serve stages j in [max(a,1), b)
+    ca, cb = max(a, 1) - 1, b - 1
+    if cb > ca:
+        occ7 = occ_t[:, :k, :]  # (Bb, 7, 512)
+        # row for stage j: occupancy channel c visible iff c < j
+        rows = jnp.arange(ca + 1, cb + 1)  # stages with a context block
+        tri = (rows[:, None] > jnp.arange(k)[None, :]).astype(dt)
+        occ_b = occ7[:, None, :, :] * tri[None, :, :, None]
+        occ_b = occ_b * geom["mask"]
 
-    st = stack_outer_blocks(params, cfg)
-    outer = {
-        "conv_in": {"w": st["conv_in_w"], "b": st["conv_in_b"]},
-        "irn": st["irn"],
-        "conv_out": st["conv_out"],
-    }
-    ctx = _sb_block(occ_b, geom, outer)  # (Bb, 7, ch, 512)
-    ctx_full = (
-        jnp.concatenate([jnp.zeros_like(ctx[:, :1]), ctx], axis=1) + x_glob
-    )  # (Bb, 8, ch, 512); stage 0 = x_glob alone (upsample.py:204-214)
+        st = stack_outer_blocks(params, cfg)
+        sl = lambda t: jax.tree_util.tree_map(lambda x: x[ca:cb], t)
+        outer = {
+            "conv_in": {"w": st["conv_in_w"][ca:cb], "b": st["conv_in_b"][ca:cb]},
+            "irn": sl(st["irn"]),
+            "conv_out": sl(st["conv_out"]),
+        }
+        ctx = _sb_block(occ_b, geom, outer)  # (Bb, cb-ca, ch, 512)
+        if a == 0:
+            # stage 0 = x_glob alone (upsample.py:204-214)
+            ctx = jnp.concatenate([jnp.zeros_like(ctx[:, :1]), ctx], axis=1)
+        ctx_full = ctx + x_glob
+    else:
+        ctx_full = jnp.broadcast_to(
+            x_glob, (x_glob.shape[0], b - a) + x_glob.shape[2:]
+        )
 
-    h = sbconv3(ctx_full, geom, params["prune"]["w"], params["prune"]["b"])
+    h = sbconv3(
+        ctx_full, geom, params["prune"]["w"][a:b], params["prune"]["b"][a:b]
+    )
     logits = _sb_mlp2(
         h,
         geom,
-        {"w": params["inner_mlp"]["l0"]["w"], "b": params["inner_mlp"]["l0"]["b"]},
-        {"w": params["inner_mlp"]["l1"]["w"], "b": params["inner_mlp"]["l1"]["b"]},
-    )  # (Bb, 8, 1, 512)
+        {
+            "w": params["inner_mlp"]["l0"]["w"][a:b],
+            "b": params["inner_mlp"]["l0"]["b"][a:b],
+        },
+        {
+            "w": params["inner_mlp"]["l1"]["w"][a:b],
+            "b": params["inner_mlp"]["l1"]["b"][a:b],
+        },
+    )  # (Bb, b-a, 1, 512)
     return logits[:, :, 0, :]
 
 
-def sb_training_bits(params, cfg: ModelConfig, geom, occ_t, level_slices):
+def sb_training_bits(params, cfg: ModelConfig, geom, occ_t, level_slices,
+                     stage_range=None):
     """Masked sum-BCE/ln2 over occupied slots (equals the voxel loss,
-    model_core.py:77-80).  The BCE itself is always f32."""
+    model_core.py:77-80), restricted to ``stage_range``.  The BCE itself
+    is always f32."""
+    a, b = (0, cfg.outstage) if stage_range is None else stage_range
     logits = sb_forward_all_stages(
-        params, cfg, geom, occ_t.astype(geom["dtype"]), level_slices
+        params, cfg, geom, occ_t.astype(geom["dtype"]), level_slices,
+        stage_range,
     ).astype(F32)
-    occ = occ_t.astype(F32)
+    occ = occ_t[:, a:b, :].astype(F32)
     bce = (
         jnp.maximum(logits, 0.0)
         - logits * occ

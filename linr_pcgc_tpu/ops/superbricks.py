@@ -120,16 +120,92 @@ def build_superbrick_level(
 
 
 # ----------------------------------------------------------- halo exchange --
+#
+# TPU layout law: XLA tiles the LAST TWO dims to (8, 128), so any tensor
+# whose minor dims are spatial (10, 10) or (8, 8) materializes with an
+# 8-16x padding blow-up (measured: a 625 MB halo costing 7.8 GB).  The
+# halo therefore NEVER takes a >4-D shape.  Representation:
+#
+#     halo h: (Bb, C, 10, 100)
+#       axis 2: the 10 x-planes [from -x nbr | own 8 | from +x nbr]
+#       axis 3: GROUP-ORDERED yz slots of one plane:
+#         [  0,  64)  center 8x8, (y-1)*8 + (z-1) at spatial (y, z)
+#         [ 64,  72)  y=0 row (from the -y side), z spatial 1..8
+#         [ 72,  80)  y=9 row (+y side),          z spatial 1..8
+#         [ 80,  88)  z=0 col (-z side),          y spatial 1..8
+#         [ 88,  96)  z=9 col (+z side),          y spatial 1..8
+#         [ 96, 100)  corners (y,z) = (0,0), (0,9), (9,0), (9,9)
+#
+# Every direction's fragment is then a rectangular (x-range, col-range)
+# block: assembly is pure concatenation with minor dims (10 -> 16,
+# 100 -> 128), a 2.05x worst-case pad instead of 13-16x.  The spatial
+# un-permutation is folded into the (100, 36) sub-halo selection matmuls
+# (sb_yz_select), which feed the conv weight matrix's standard order.
 
-def _src_range(d: int) -> tuple[int, int]:
-    """Slab of the SOURCE (neighbor) brick contributing to my halo in
-    direction component d (per axis)."""
-    return {(-1): (SB - 1, SB), 0: (0, SB), 1: (0, 1)}[d]
+# destination column range in the 100-axis per (dy, dz)
+_YZ_DST = {
+    (0, 0): (0, 64),
+    (-1, 0): (64, 72),
+    (1, 0): (72, 80),
+    (0, -1): (80, 88),
+    (0, 1): (88, 96),
+    (-1, -1): (96, 97),
+    (-1, 1): (97, 98),
+    (1, -1): (98, 99),
+    (1, 1): (99, 100),
+}
+_YZ_ORDER = list(_YZ_DST.keys())  # concat order along axis 3
+
+# destination x-plane range per dx
+_X_DST = {-1: (0, 1), 0: (1, 1 + SB), 1: (1 + SB, HALO_SIDE)}
+# source x-plane slab (of the neighbor) per dx
+_X_SRC = {-1: (SB - 1, SB), 0: (0, SB), 1: (0, 1)}
 
 
-def _dst_range(d: int) -> tuple[int, int]:
-    """Destination window in my 10^3 halo (per axis)."""
-    return {(-1): (0, 1), 0: (1, 1 + SB), 1: (1 + SB, HALO_SIDE)}[d]
+def _yz_cols(slab, dy, dz):
+    """Select the source yz columns of a (Bb, C, px, 64) plane slab that a
+    (dy, dz) neighbor ships: contiguous or strided slices of the 64-col
+    axis (64 = y*8 + z)."""
+    if (dy, dz) == (0, 0):
+        return slab
+    if (dy, dz) == (-1, 0):
+        return slab[..., 56:64]   # its y=7 row
+    if (dy, dz) == (1, 0):
+        return slab[..., 0:8]     # its y=0 row
+    if (dy, dz) == (0, -1):
+        return slab[..., 7::8]    # its z=7 col
+    if (dy, dz) == (0, 1):
+        return slab[..., 0::8]    # its z=0 col
+    if (dy, dz) == (-1, -1):
+        return slab[..., 63:64]
+    if (dy, dz) == (-1, 1):
+        return slab[..., 56:57]
+    if (dy, dz) == (1, -1):
+        return slab[..., 7:8]
+    return slab[..., 0:1]
+
+
+def _yz_src_pad(dy, dz, piece):
+    """Inverse of _yz_cols: zero-pad a gathered gradient piece back to the
+    (.., px, 64) source slab position (interior padding realizes the
+    stride-8 z columns — no scatter)."""
+    w = piece.shape[-1]
+    if (dy, dz) == (0, 0):
+        return piece
+    pads = {
+        (-1, 0): (56, 0, 0),
+        (1, 0): (0, 56, 0),
+        (0, -1): (7, 0, 7),
+        (0, 1): (0, 7, 7),
+        (-1, -1): (63, 0, 0),
+        (-1, 1): (56, 7, 0),
+        (1, -1): (7, 56, 0),
+        (1, 1): (0, 63, 0),
+    }[(dy, dz)]
+    cfg = [(0, 0, 0)] * (piece.ndim - 1) + [pads]
+    out = jax.lax.pad(piece, jnp.zeros((), piece.dtype), cfg)
+    assert out.shape[-1] == 64, (w, pads, out.shape)
+    return out
 
 
 def _gather_rows(frag, nbr_col):
@@ -140,39 +216,32 @@ def _gather_rows(frag, nbr_col):
 
 
 def _halo_forward(x, nbr27):
-    """x (Bb, C, 512) -> (Bb, C, 10, 10, 10) spatial halo.
+    """x (Bb, C, 512) -> (Bb, C, 10, 100) group-ordered halo.
 
-    26 fragment gathers (one per direction) + nested z/y/x concatenation
-    (pure relayout, fused by XLA).  Absent neighbors contribute zeros.
+    27 rectangular fragments (slice -> gather) + two levels of
+    concatenation; absent neighbors contribute zeros.
     """
     bb, c, _ = x.shape
-    xv = x.reshape(bb, c, SB, SB, SB)
+    xv = x.reshape(bb, c, SB, 64)
 
-    def frag(d):
+    def piece(d):
         dx, dy, dz = d
+        sx = _X_SRC[dx]
+        cols = _yz_cols(xv[:, :, sx[0]: sx[1], :], dy, dz)
         if d == (0, 0, 0):
-            return xv
-        sx, sy, sz = _src_range(dx), _src_range(dy), _src_range(dz)
-        piece = xv[:, :, sx[0]: sx[1], sy[0]: sy[1], sz[0]: sz[1]]
-        k = _DIRS.index(d)
-        return _gather_rows(piece, nbr27[:, k])
+            return cols
+        return _gather_rows(cols, nbr27[:, _DIRS.index(d)])
 
-    planes = []
-    for dx in (-1, 0, 1):
-        strips = []
-        for dy in (-1, 0, 1):
-            strips.append(
-                jnp.concatenate(
-                    [frag((dx, dy, dz)) for dz in (-1, 0, 1)], axis=4
-                )
-            )
-        planes.append(jnp.concatenate(strips, axis=3))
-    return jnp.concatenate(planes, axis=2)
+    groups = [
+        jnp.concatenate([piece((dx, dy, dz)) for (dy, dz) in _YZ_ORDER], axis=3)
+        for dx in (-1, 0, 1)
+    ]
+    return jnp.concatenate(groups, axis=2)  # (Bb, C, 10, 100)
 
 
 @jax.custom_vjp
 def sb_halo(x, nbr27):
-    """(Bb, C, 512), (Bb, 27) -> (Bb, C, 10, 10, 10) spatial halo."""
+    """(Bb, C, 512), (Bb, 27) -> (Bb, C, 10, 100) group-ordered halo."""
     return _halo_forward(x, nbr27)
 
 
@@ -181,30 +250,89 @@ def _sb_halo_fwd(x, nbr27):
 
 
 def _sb_halo_bwd(nbr27, dh):
-    """Scatter-free fold: my slab src(d) was shipped to neighbor nbr(b,-d)
-    who filed it at halo window dst(d); its gradient returns by a gather
-    of that window over the -d neighbor map.  26 gathers + static
-    overlap-adds — no scatter anywhere (cf. ops/bricks._halo_bwd)."""
-    bb = dh.shape[0]
-    dx_v = dh[:, :, 1: 1 + SB, 1: 1 + SB, 1: 1 + SB]
+    """Scatter-free fold: brick b's slab for direction d was shipped to
+    the brick at -d, filed at window (x_dst(d), yz_dst(d)); its gradient
+    returns by gathering that window over the -d neighbor map and
+    zero-padding back to the source slab (interior pads realize strided
+    columns).  No scatter anywhere; all shapes <= 4-D."""
+    bb, c = dh.shape[0], dh.shape[1]
+    # materialize the incoming halo cotangent once: its producer is the
+    # transposed extraction einsum, and letting XLA fuse that into the 26
+    # window gathers below recomputes it per direction (see the matching
+    # barrier in sb_network.sbconv3)
+    dh = jax.lax.optimization_barrier(dh)
+    g0, g1 = _YZ_DST[(0, 0)]
+    total = dh[:, :, 1: 1 + SB, g0:g1]
     for d in _DIRS:
         if d == (0, 0, 0):
             continue
-        ddx, ddy, ddz = d
-        md = (-ddx, -ddy, -ddz)
-        mk = _DIRS.index(md)
-        wx, wy, wz = _dst_range(ddx), _dst_range(ddy), _dst_range(ddz)
-        piece = _gather_rows(
-            dh[:, :, wx[0]: wx[1], wy[0]: wy[1], wz[0]: wz[1]],
-            nbr27[:, mk],
-        )
-        sx, sy, sz = _src_range(ddx), _src_range(ddy), _src_range(ddz)
-        dx_v = dx_v.at[:, :, sx[0]: sx[1], sy[0]: sy[1], sz[0]: sz[1]].add(piece)
+        dx, dy, dz = d
+        mk = _DIRS.index((-dx, -dy, -dz))
+        x0, x1 = _X_DST[dx]
+        c0, c1 = _YZ_DST[(dy, dz)]
+        piece = _gather_rows(dh[:, :, x0:x1, c0:c1], nbr27[:, mk])
+        piece = _yz_src_pad(dy, dz, piece)
+        s0, s1 = _X_SRC[dx]
+        cfg = [(0, 0, 0), (0, 0, 0), (s0, SB - s1, 0), (0, 0, 0)]
+        total = total + jax.lax.pad(piece, jnp.zeros((), piece.dtype), cfg)
     d_nbr = np.zeros(nbr27.shape, dtype=jax.dtypes.float0)
-    return dx_v.reshape(bb, dx_v.shape[1], SB_SLOTS), d_nbr
+    return total.reshape(bb, c, SB_SLOTS), d_nbr
 
 
 sb_halo.defvjp(_sb_halo_fwd, _sb_halo_bwd)
+
+
+def halo_group_to_spatial(h: np.ndarray) -> np.ndarray:
+    """Test/debug helper: (Bb, C, 10, 100) group-ordered halo -> dense
+    (Bb, C, 10, 10, 10) spatial halo (numpy)."""
+    bb, c = h.shape[0], h.shape[1]
+    out = np.zeros((bb, c, HALO_SIDE, HALO_SIDE, HALO_SIDE), h.dtype)
+    for y in range(HALO_SIDE):
+        for z in range(HALO_SIDE):
+            out[:, :, :, y, z] = h[:, :, :, _yz_group_slot(y, z)]
+    return out
+
+
+def _yz_group_slot(y: int, z: int) -> int:
+    """Spatial (y, z) in [0, 10)^2 -> group-ordered column in [0, 100)."""
+    if 1 <= y <= 8 and 1 <= z <= 8:
+        return (y - 1) * 8 + (z - 1)
+    if y == 0 and 1 <= z <= 8:
+        return 64 + (z - 1)
+    if y == 9 and 1 <= z <= 8:
+        return 72 + (z - 1)
+    if z == 0 and 1 <= y <= 8:
+        return 80 + (y - 1)
+    if z == 9 and 1 <= y <= 8:
+        return 88 + (y - 1)
+    return 96 + {(0, 0): 0, (0, 9): 1, (9, 0): 2, (9, 9): 3}[(y, z)]
+
+
+def _yz_select_matrix(py: int, pz: int) -> np.ndarray:
+    """(100, 36) selector: group-ordered yz columns -> the 6x6 (y, z)
+    window at offset (py, pz), flattened wy*6 + wz (the conv weight
+    matrix's spatial order)."""
+    m = np.zeros((100, 36), np.float32)
+    for wy in range(SUB_HALO):
+        for wz in range(SUB_HALO):
+            m[_yz_group_slot(py + wy, pz + wz), wy * SUB_HALO + wz] = 1.0
+    return m
+
+
+# one (100, 36) selector per (py, pz) sub-offset in {0, 4}^2
+_YZ_SELECT = {
+    (j, k): jnp.asarray(_yz_select_matrix(j, k))
+    for j in (0, SUB)
+    for k in (0, SUB)
+}
+
+
+def sb_yz_select(hx, j: int, k: int):
+    """(Bb, C, 6, 100) x-sliced halo -> (Bb, C, 6, 36): the (y, z) window
+    at offset (j, k), via a tiny selection matmul (layout-clean: no
+    spatial minor dims are ever materialized)."""
+    sel = _YZ_SELECT[(j, k)].astype(hx.dtype)
+    return jnp.einsum("bcxg,gw->bcxw", hx, sel)
 
 
 # ------------------------------------------------- sub-halo extraction + W --
@@ -215,13 +343,12 @@ SUB_OFFSETS = [(i, j, k) for i in (0, SUB) for j in (0, SUB) for k in (0, SUB)]
 
 
 def sb_extract(h):
-    """(Bb, C, 10, 10, 10) -> (8, Bb, C, 216): the eight sub-brick 6^3
-    halos, spatial (z-major) slot order.  Pure static strided slicing —
-    autodiff gives the exact overlap-add transpose with static indices
-    (lowered to pads, no scatters)."""
+    """(Bb, C, 10, 100) group halo -> (8, Bb, C, 216): the eight sub-brick
+    6^3 halos in the conv weight matrix's spatial order (x*36 + y*6 + z).
+    x windows are plain slices; yz windows are selection matmuls."""
     bb, c = h.shape[0], h.shape[1]
     subs = [
-        h[:, :, i: i + SUB_HALO, j: j + SUB_HALO, k: k + SUB_HALO].reshape(
+        sb_yz_select(h[:, :, i: i + SUB_HALO, :], j, k).reshape(
             bb, c, SUB_HALO_VOL
         )
         for (i, j, k) in SUB_OFFSETS

@@ -35,15 +35,28 @@ from ..runtime.overfit import (
 def shard_gop(batch: GopBatch, mesh: Mesh):
     """Reshape (F, ...) -> (T, D, ...) and place with the D axis sharded.
 
-    F must be a multiple of the mesh size (pad the GOP by repeating frames
-    if needed before calling; the loss average then slightly re-weights,
-    which is the caller's choice to accept)."""
+    When F is not a multiple of the mesh size D, the tail super-step is
+    padded with copies of frame 0 carrying ``loss_weight`` 0 — they occupy
+    a parallel lane (no extra wall-clock) and contribute exactly zero to
+    the weighted gradient, so the optimizer trajectory is a function of
+    the real frames only (no silent re-weighting).
+    """
     d = mesh.devices.size
     arrays = batch_arrays(batch)
     f = batch.n_frames
-    if f % d != 0:
-        raise ValueError(f"gop size {f} not divisible by mesh size {d}")
-    t = f // d
+    pad = (-f) % d
+    weights = jnp.concatenate(
+        [jnp.ones((f,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+    )
+    if pad:
+        arrays = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])]
+            ),
+            arrays,
+        )
+    arrays = dict(arrays, loss_weight=weights)
+    t = (f + pad) // d
     sharding = NamedSharding(mesh, P(None, mesh.axis_names[0]))
 
     def reshape_and_place(x):
@@ -54,17 +67,25 @@ def shard_gop(batch: GopBatch, mesh: Mesh):
 
 
 def make_epoch_fn_dp(cfg: ModelConfig, tc: TrainConfig, mesh: Mesh):
-    """Jitted data-parallel epoch: scan over T super-steps of D frames."""
+    """Jitted data-parallel epoch: scan over T super-steps of D frames.
+
+    Each super-step takes ONE Adam step on the weighted-mean gradient of
+    its D frames (weights are 1 for real frames, 0 for padding).  The LR
+    schedule counts optimizer steps, so callers should divide
+    ``step_size`` by D to keep the reference's decay-per-epoch cadence
+    (runtime.overfit.dp_train_config does this conversion).
+    """
     replicated = NamedSharding(mesh, P())
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def epoch_fn(params, opt, lr, sched_count, data):
         def body(carry, fd):
             params, opt, lr, k = carry
+            w = fd.pop("loss_weight")
 
             def mean_loss(p):
                 losses = jax.vmap(lambda one: frame_loss(p, cfg, one))(fd)
-                return losses.mean(), losses
+                return jnp.sum(losses * w) / jnp.sum(w), losses
 
             (_, losses), grads = jax.value_and_grad(mean_loss, has_aux=True)(
                 params

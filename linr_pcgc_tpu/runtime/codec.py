@@ -150,9 +150,53 @@ def _pad_level_coords(level_coords: list[np.ndarray], ns: list[int]):
 # -------------------------------------------------------------- encoding --
 
 
+def _use_sb(cfg: ModelConfig) -> bool:
+    """The superbrick codec path covers the default architecture; other
+    kernel sizes run the flat gather path.  Encode and decode dispatch on
+    the same predicate, so a bitstream is always decoded by the backend
+    that produced it (the f32 probability bits are backend-specific — the
+    same same-numerics constraint the reference has between its CUDA
+    encoder and decoder)."""
+    return cfg.kernel_size == 3 and cfg.outstage == 8
+
+
 def encode_gop_streams(params, cfg: ModelConfig, pyramids: list[FramePyramid]):
     """Occupancy streams for every (frame, scale) of a GOP, coded
     stage-synchronously across frames.  Returns blobs[frame][scale]."""
+    if _use_sb(cfg):
+        return encode_gop_streams_sb(params, cfg, pyramids)
+    return encode_gop_streams_gather(params, cfg, pyramids)
+
+
+def encode_gop_streams_sb(params, cfg: ModelConfig, pyramids):
+    """Superbrick encode: per level, ONE device call predicts all stages
+    for every frame; the host AC codes all streams in one batch."""
+    from .sb_codec import build_codec_level, encode_level_probs
+
+    f = len(pyramids)
+    s_num = pyramids[0].scale_num
+    blobs = [[None] * s_num for _ in range(f)]
+    total_bits = 0
+    for s in range(s_num):
+        level = build_codec_level(
+            [p.levels[s].coords[: p.levels[s].n] for p in pyramids],
+            s,
+            [p.levels[s].occ[: p.levels[s].n] for p in pyramids],
+        )
+        probs, bits = encode_level_probs(params, cfg, level)
+        flat_probs = [p for stage in probs for p in stage]
+        flat_bits = [b for stage in bits for b in stage]
+        streams = binary_encode_batch(flat_probs, flat_bits)
+        for i in range(f):
+            per_frame = [streams[stage * f + i] for stage in range(cfg.outstage)]
+            blob = pack_bitstream(per_frame)
+            blobs[i][s] = blob
+            total_bits += len(blob) * 8
+    return blobs, total_bits
+
+
+def encode_gop_streams_gather(params, cfg: ModelConfig, pyramids):
+    """Flat per-voxel gather encode (kernel_size != 3 variants)."""
     f = len(pyramids)
     s_num = pyramids[0].scale_num
     blobs = [[None] * s_num for _ in range(f)]
@@ -207,6 +251,30 @@ def decode_gop_streams(
     base-layer coords.  Returns the decoded (min-subtracted) coordinate
     arrays, one per frame.
     """
+    if _use_sb(cfg):
+        return decode_gop_streams_sb(params, cfg, frame_blobs, lows)
+    return decode_gop_streams_gather(params, cfg, frame_blobs, lows)
+
+
+def decode_gop_streams_sb(params, cfg: ModelConfig, frame_blobs, lows):
+    """Superbrick decode: geometry rebuilt host-side per level from the
+    coordinates decoded so far; 8 stage-synchronous device calls per level
+    (all frames at once)."""
+    from .sb_codec import build_codec_level, decode_level, np_octree_up
+
+    f = len(lows)
+    s_num = len(frame_blobs[0])
+    cur = [np.ascontiguousarray(low, np.int32) for low in lows]
+    for s in range(s_num - 1, -1, -1):
+        level = build_codec_level(cur, s)
+        streams = [unpack_bitstream(frame_blobs[i][s]) for i in range(f)]
+        occs = decode_level(params, cfg, level, streams)
+        cur = [np_octree_up(cur[i], occs[i]) for i in range(f)]
+    return cur
+
+
+def decode_gop_streams_gather(params, cfg: ModelConfig, frame_blobs, lows):
+    """Flat per-voxel gather decode (kernel_size != 3 variants)."""
     f = len(lows)
     s_num = len(frame_blobs[0])
     ns = [len(low) for low in lows]
@@ -259,6 +327,34 @@ def params_template(cfg: ModelConfig):
     return init_params(jax.random.PRNGKey(0), cfg)
 
 
+# Model-architecture side info: lets a decoder reconstruct the network from
+# the bitstream directory alone (the reference instead hard-codes the
+# architecture at every entry point and globs scale_num from bin filenames,
+# decoder.py:104-113,189).  Costed like the reference costs its side info
+# (modeled bits, stored as JSON): one byte per small-int field.
+_CFG_FIELDS = (
+    "scale_num",
+    "in_channel",
+    "hidden_channel_conv",
+    "hidden_channel_mlp",
+    "embed_dim",
+    "scale_mlp_hidden",
+    "block_layers",
+    "outstage",
+    "kernel_size",
+)
+CFG_SIDE_BITS = 8 * len(_CFG_FIELDS)
+
+
+def cfg_side_info(cfg: ModelConfig) -> dict:
+    return {k: int(getattr(cfg, k)) for k in _CFG_FIELDS}
+
+
+def cfg_from_side_info(side_info: dict) -> ModelConfig:
+    info = side_info["model_cfg"]
+    return ModelConfig(**{k: int(info[k]) for k in _CFG_FIELDS})
+
+
 def encode_gop(
     model_path: str,
     pyramids: list[FramePyramid],
@@ -285,8 +381,9 @@ def encode_gop(
     comp = compress_params(flat, bitdepth)
     with open(os.path.join(bins_dir, "model.bin"), "wb") as f:
         f.write(comp["final_bytes"])
+    side_info = dict(comp["side_info"], model_cfg=cfg_side_info(cfg))
     with open(os.path.join(result_dir, "side_info.json"), "w") as f:
-        json.dump(comp["side_info"], f, indent=4)
+        json.dump(side_info, f, indent=4)
 
     # Probabilities MUST come from the dequantized weights so the decoder
     # (which only has those) predicts identically (encoder.py:101-103).
@@ -302,7 +399,7 @@ def encode_gop(
                 f.write(blob)
     return {
         "point_bits": total_bits,
-        "model_bits": comp["bit_real"],
+        "model_bits": comp["bit_real"] + CFG_SIDE_BITS,
         "low_bits": len(low_bytes) * 8,
         "points": sum(p.point_num for p in pyramids),
         "enc_mode": comp["enc_mode"],
@@ -312,7 +409,7 @@ def encode_gop(
 def decode_gop(
     enc_dir: str,
     dec_dir: str | None,
-    cfg: ModelConfig,
+    cfg: ModelConfig | None = None,
     gop_start_idx: int = 0,
     ground_truth=None,
     write_flag: bool = False,
@@ -320,7 +417,13 @@ def decode_gop(
 ) -> list:
     """Decode one GOP from its artifact directory; optionally verify
     losslessness against ground truth and write PLY files
-    (decoder.py:51-146)."""
+    (decoder.py:51-146).
+
+    Standalone: with ``cfg=None`` the model architecture is reconstructed
+    from ``side_info.json`` — the bins directory alone suffices, matching
+    the reference decoder's independence (/root/reference/decoder.py:16-150
+    runs from the bitstream directory without the original dataset).
+    """
     log = logger.info if logger is not None else print
     bins_dir = os.path.join(enc_dir, "bins")
 
@@ -330,6 +433,9 @@ def decode_gop(
         side_info = json.load(f)
     with open(os.path.join(bins_dir, "model.bin"), "rb") as f:
         model_blob = f.read()
+
+    if cfg is None:
+        cfg = cfg_from_side_info(side_info)
 
     template = params_template(cfg)
     n_params = len(np.asarray(flatten_params(template)))

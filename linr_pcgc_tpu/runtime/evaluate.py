@@ -23,7 +23,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..coding import (
-    binary_decode_batch,
     binary_encode_batch,
     binary_estimate_bits,
     pack_bitstream,
@@ -34,7 +33,28 @@ from ..models import ModelConfig, flatten_params, unflatten_params
 
 def _gop_probs_and_bits(params, cfg: ModelConfig, pyramids):
     """Per-(scale, stage, frame) probability and ground-truth bit arrays,
-    computed exactly like the production encoder (batched, traced-stage)."""
+    computed exactly like the production encoder — same backend dispatch,
+    so the mid-test's real decode (which runs the production decoder)
+    sees bit-identical probabilities."""
+    from .codec import _use_sb
+
+    if _use_sb(cfg):
+        from .sb_codec import build_codec_level, encode_level_probs
+
+        f = len(pyramids)
+        per_frame = [[] for _ in range(f)]
+        for s in range(pyramids[0].scale_num):
+            level = build_codec_level(
+                [p.levels[s].coords[: p.levels[s].n] for p in pyramids],
+                s,
+                [p.levels[s].occ[: p.levels[s].n] for p in pyramids],
+            )
+            probs, bits = encode_level_probs(params, cfg, level)
+            for stage in range(cfg.outstage):
+                for i in range(f):
+                    per_frame[i].append((s, stage, probs[stage][i], bits[stage][i]))
+        return per_frame
+
     from .codec import _pad_level_coords, _prep_levels, _context_batched, _stage_probs_batched
 
     f = len(pyramids)
@@ -83,6 +103,21 @@ def frame_bit_heatmap(params, cfg: ModelConfig, pyr) -> list:
     return out
 
 
+def _original_coords(pyr) -> np.ndarray:
+    """Reconstruct the frame's original (min-subtracted) sorted coordinates
+    from the finest pyramid level's occupancy — the decode target."""
+    from ..ops.octree import OCTANT_OFFSETS
+
+    lev = pyr.levels[0]
+    c = lev.coords[: lev.n].astype(np.int64)
+    occ = lev.occ[: lev.n].astype(bool)
+    offs = np.asarray(OCTANT_OFFSETS, np.int64)
+    children = (c[:, None, :] * 2 + offs[None]).reshape(-1, 3)
+    children = children[occ.reshape(-1)]
+    key = (children[:, 0] << 42) | (children[:, 1] << 21) | children[:, 2]
+    return children[np.argsort(key, kind="stable")].astype(np.int32)
+
+
 def test_one_gop(
     model_path: str,
     cfg: ModelConfig,
@@ -92,7 +127,7 @@ def test_one_gop(
     low_bytes: bytes | None = None,
     logger=None,
 ) -> dict:
-    from .codec import params_template
+    from .codec import cfg_side_info, params_template, CFG_SIDE_BITS
     from .overfit import load_checkpoint
 
     if low_bytes is None and write_flag:
@@ -125,51 +160,68 @@ def test_one_gop(
         with open(os.path.join(bins_dir, "model.bin"), "wb") as f:
             f.write(comp["final_bytes"])
     with open(os.path.join(result_dir, "side_info.json"), "w") as f:
-        json.dump(dict(comp["side_info"]), f, indent=4)
+        json.dump(
+            dict(comp["side_info"], model_cfg=cfg_side_info(cfg)), f, indent=4
+        )
 
-    # Network forward for the whole GOP (the timed "enc" network pass).
+    # Encode: network forward for the whole GOP + batched AC encode.
     st = time.time()
     per_frame = _gop_probs_and_bits(params_used, cfg, pyramids)
     t_net = time.time() - st
-
-    # Real AC encode + decode roundtrip, batched over everything.
     probs = [e[2] for frame in per_frame for e in frame]
     bits = [e[3] for frame in per_frame for e in frame]
     st = time.time()
     streams = binary_encode_batch(probs, bits)
     t_enc = time.time() - st
-    st = time.time()
-    decs = binary_decode_batch(probs, streams)
-    t_dec = time.time() - st
-    for d, gt in zip(decs, bits):
-        assert np.array_equal(d, gt.astype(np.uint8)), "AC roundtrip failed"
 
     bits_est = sum(binary_estimate_bits(p, b) for p, b in zip(probs, bits))
     points = sum(p.point_num for p in pyramids)
     # real point bits = packed per (frame, scale) like the encoder
     bits_real = 0
     s_num = pyramids[0].scale_num
+    frame_blobs = []
     for i, frame in enumerate(per_frame):
+        blobs = []
         for s in range(s_num):
             idxs = [j for j, e in enumerate(frame) if e[0] == s]
             base = i * s_num * cfg.outstage
             blob = pack_bitstream([streams[base + j] for j in idxs])
             bits_real += len(blob) * 8
+            blobs.append(blob)
             if write_flag:
                 with open(
                     os.path.join(bins_dir, f"frame{i:04d}_scale{s}.bin"), "wb"
                 ) as f:
                     f.write(blob)
+        frame_blobs.append(blobs)
+
+    # Decode: the REAL stage-serial pipeline, timed separately from the
+    # encode pass (the reference times distinct enc and dec network runs,
+    # model_core.py:170-227 — reusing the encode pass for both would
+    # double-count it), with the end-to-end losslessness assert
+    # (decoder.py:140 semantics).
+    from .codec import decode_gop_streams
+
+    lows = [p.low_coords for p in pyramids]
+    st = time.time()
+    decoded = decode_gop_streams(params_used, cfg, frame_blobs, lows)
+    t_dec = time.time() - st
+    for i, (dec, pyr) in enumerate(zip(decoded, pyramids)):
+        gt = _original_coords(pyr)
+        assert dec.shape == gt.shape and np.array_equal(dec, gt), (
+            f"frame {i} mid-test decode mismatch"
+        )
 
     enc_time += t_net + t_enc
-    dec_time += t_net + t_dec
+    dec_time += t_dec
+    model_bits = comp["bit_real"] + CFG_SIDE_BITS
     low_bits = len(low_bytes) * 8 if low_bytes is not None else 0
     n_frames = len(pyramids)
     result = {
-        "bpp_all": (bits_real + comp["bit_real"] + low_bits) / points,
+        "bpp_all": (bits_real + model_bits + low_bits) / points,
         "point_bpp": bits_real / points,
         "point_bpp_val": bits_est / points,
-        "model_bpp": comp["bit_real"] / points,
+        "model_bpp": model_bits / points,
         "xyzlow_bpp": low_bits / points,
         "enc_mode": comp["enc_mode"],
         "enc_time": enc_time / n_frames,

@@ -286,6 +286,15 @@ def load_checkpoint(path: str, params_like):
 # ---------------------------------------------------------- GOP overfit --
 
 
+def dp_train_config(tc: TrainConfig, n_devices: int) -> TrainConfig:
+    """Schedule conversion for frame-parallel training: one optimizer step
+    covers D frames, so ``step_size`` shrinks by D to keep the reference's
+    decay-per-frames-seen cadence (parallel/train.py semantics)."""
+    return dataclasses.replace(
+        tc, step_size=max(1, round(tc.step_size / n_devices))
+    )
+
+
 def overfit_gop(
     dataset,
     group_range,
@@ -304,6 +313,8 @@ def overfit_gop(
     low_bytes: bytes | None = None,
     resume: bool = False,
     backend: str = "auto",
+    devices: int = 1,
+    train_dtype: str = "bf16",
     logger=None,
 ) -> str:
     """Overfit one GOP; mirrors reference ``overfit_one_gop``
@@ -344,14 +355,38 @@ def overfit_gop(
                 f.write(low_bytes)
     xyzlow_bpp = len(low_bytes) / point_total
 
-    if backend == "auto":
-        backend = "bricks" if cfg.kernel_size == 3 else "gather"
-    if backend == "bricks":
+    if devices > 1:
+        backend = "dp"
+    elif backend == "auto":
+        backend = "sb" if cfg.kernel_size == 3 else "gather"
+    if backend == "dp":
+        # frame-data-parallel over a 1-D mesh: D frames per optimizer step,
+        # zero-weight padding when gop_size % D != 0, step_size / D
+        # schedule conversion (parallel/train.py)
+        from ..parallel import make_mesh, make_epoch_fn_dp, shard_gop
+
+        mesh = make_mesh(devices)
+        batch = assemble_gop(pyramids, cfg.kernel_size)
+        arrays = shard_gop(batch, mesh)
+        epoch_fn = make_epoch_fn_dp(cfg, dp_train_config(tc, devices), mesh)
+    elif backend == "sb":
+        from .sb_overfit import assemble_gop_superbricks, make_epoch_fn_sb
+
+        batch_s = assemble_gop_superbricks(pyramids)
+        arrays = batch_s
+        epoch_fn = make_epoch_fn_sb(
+            cfg, tc, batch_s.level_slices,
+            compute_dtype=jnp.bfloat16 if train_dtype == "bf16" else jnp.float32,
+        )
+    elif backend == "bricks":
         from .brick_overfit import assemble_gop_bricks, make_epoch_fn_bricks
 
         batch_b = assemble_gop_bricks(pyramids)
         arrays = batch_b
-        epoch_fn = make_epoch_fn_bricks(cfg, tc, batch_b.level_slices)
+        epoch_fn = make_epoch_fn_bricks(
+            cfg, tc, batch_b.level_slices,
+            compute_dtype=jnp.bfloat16 if train_dtype == "bf16" else jnp.float32,
+        )
     else:
         batch = assemble_gop(pyramids, cfg.kernel_size)
         arrays = batch_arrays(batch)
@@ -385,7 +420,7 @@ def overfit_gop(
         params, opt, lr_arr, sched_count, losses = epoch_fn(
             params, opt, lr_arr, sched_count, arrays
         )
-        losses = np.asarray(losses)
+        losses = np.asarray(losses).reshape(-1)[:gop_size]  # drop DP padding
         train_time += time.time() - st
         loss_mean = float(losses.mean())
         log(f"epoch: {epoch}")

@@ -1,0 +1,188 @@
+"""Superbrick compute path for the production codec (encode/decode).
+
+Round-1 shipped the codec on the flat per-voxel gather network, which is
+correct but gather-rate-bound (VERDICT round 1, weak #3).  This module
+runs the codec's probability predictions on the same 8^3-superbrick
+layout as the trainer (models/sb_network.py): per octree level, one halo
+exchange feeds stage-batched MXU convolutions.
+
+Encoder/decoder bit-identity (the arithmetic coder diverges on any f32
+mismatch) is held BY CONSTRUCTION, stronger than the reference's
+run-the-same-CUDA-graph-twice argument (encoder.py:101-103):
+
+  * both sides run the *same jitted executable* — ``sb_codec_probs``
+    computes all 8 stages with occupancy channels >= stage masked inside
+    (models/sb_network.sb_forward_all_stages).  The encoder calls it once
+    with ground truth; the decoder calls it per stage with its partially
+    decoded buffer.  For stage i, every input channel the executable
+    actually reads (0..i-1) is identical on both sides, so the f32
+    probability bits coincide.
+  * geometry (brick structure, neighbor maps, 7-neighbor feature codes)
+    is integer-exact host numpy, recomputed identically from coordinates
+    both sides have.
+  * bucket shapes derive from brick counts both sides can compute, so the
+    executables (and their f32 rounding) agree.
+
+Levels are processed as one flat brick axis with frames appended
+(frame f's bricks offset by f * bucket): frames never neighbor each
+other, and one executable serves the whole GOP level — the reference's
+F x S x 8 device->host ping-pong becomes S x 8 (decode) / S (encode)
+dispatches per GOP (SURVEY.md §3.3 hot loop 2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import ModelConfig
+from ..models.sb_network import sb_forward_all_stages
+from ..ops.octree import np_feat_code, np_octree_up
+from ..ops.superbricks import SB_SLOTS, build_superbrick_level
+from .sb_overfit import _sb_bucket
+
+F32 = jnp.float32
+
+
+@dataclasses.dataclass
+class CodecLevel:
+    """One level's GOP-batched superbrick geometry (frames appended along
+    the brick axis with a shared per-frame bucket)."""
+
+    nbr27: np.ndarray          # (F*B, 27) int32, -1 absent
+    code: np.ndarray           # (F*B, 512) int32 scale*128+feat, -1 empty
+    occ: np.ndarray            # (F*B, 8, 512) uint8 (zeros when unknown)
+    voxel_maps: list           # per frame (voxel_brick + f*B, voxel_slot, n)
+    bucket: int
+    scale_idx: int
+
+    @property
+    def slices(self):
+        return ((0, self.nbr27.shape[0], self.scale_idx),)
+
+
+def build_codec_level(
+    frame_coords: list[np.ndarray],
+    scale_idx: int,
+    frame_occs: list[np.ndarray] | None = None,
+) -> CodecLevel:
+    """Brickify one level of every frame.  ``frame_coords`` are trimmed,
+    canonically sorted coordinate arrays; ``frame_occs`` the ground-truth
+    occupancies (encoder) or None (decoder: zeros until decoded)."""
+    f = len(frame_coords)
+    levs = []
+    for i, c in enumerate(frame_coords):
+        occ = (
+            frame_occs[i]
+            if frame_occs is not None
+            else np.zeros((len(c), 8), np.uint8)
+        )
+        levs.append(build_superbrick_level(c, occ, np_feat_code(c), scale_idx))
+    b = _sb_bucket(max(lev.n_bricks for lev in levs))
+    nbr = np.full((f * b, 27), -1, np.int32)
+    code = np.full((f * b, SB_SLOTS), -1, np.int32)
+    occ_b = np.zeros((f * b, 8, SB_SLOTS), np.uint8)
+    maps = []
+    for i, lev in enumerate(levs):
+        a = i * b
+        nb = lev.n_bricks
+        nbr[a: a + nb] = np.where(lev.nbr27 >= 0, lev.nbr27 + np.int32(a), -1)
+        code[a: a + nb] = lev.scale_code
+        occ_b[a: a + nb] = lev.occ
+        maps.append((lev.voxel_brick.astype(np.int64) + a, lev.voxel_slot, lev.n_vox))
+    return CodecLevel(
+        nbr27=nbr, code=code, occ=occ_b, voxel_maps=maps, bucket=b,
+        scale_idx=scale_idx,
+    )
+
+
+# ------------------------------------------------------ device kernels ----
+
+
+@partial(jax.jit, static_argnames=("cfg", "slices"))
+def sb_codec_probs(params, cfg: ModelConfig, code, nbr27, occ, slices):
+    """All-stage occupancy probabilities, (F*B, 8, 512) f32.
+
+    The ONE executable both codec sides run per level (decoder: once per
+    stage with its growing ``occ`` buffer).  f32 activations with HIGHEST
+    matmul precision — probability bits are part of the format.
+    """
+    mask = (code >= 0).astype(F32)[:, None, None, :]
+    geom = dict(nbr27=nbr27, mask=mask, code=code, dtype=F32)
+    logits = sb_forward_all_stages(
+        params, cfg, geom, occ.astype(F32), slices
+    )
+    return jax.nn.sigmoid(logits.astype(F32))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def occ_set_stage(occ, col, stage):
+    """Decoder buffer update: write the newly decoded stage column."""
+    return occ.at[:, stage, :].set(col)
+
+
+# --------------------------------------------------------- level codecs ----
+
+
+def encode_level_probs(params, cfg: ModelConfig, level: CodecLevel):
+    """Per-(stage, frame) probability/bit arrays for one level, from ONE
+    device call.  Returns (probs[stage][frame], bits[stage][frame])."""
+    pr = np.asarray(
+        sb_codec_probs(
+            params, cfg,
+            jnp.asarray(level.code), jnp.asarray(level.nbr27),
+            jnp.asarray(level.occ), level.slices,
+        )
+    )
+    probs, bits = [], []
+    for stage in range(cfg.outstage):
+        p_s, b_s = [], []
+        for (vb, vs, n) in level.voxel_maps:
+            p_s.append(pr[vb, stage, vs])
+            b_s.append(level.occ[vb, stage, vs].astype(np.float32))
+        probs.append(p_s)
+        bits.append(b_s)
+    return probs, bits
+
+
+def decode_level(params, cfg: ModelConfig, level: CodecLevel, stage_streams):
+    """Decode one level's 8 stage streams for every frame.
+
+    ``stage_streams[frame][stage]`` are the AC byte streams.  Returns the
+    per-frame (n, 8) occupancy arrays.
+    """
+    from ..coding import binary_decode_batch
+
+    f = len(level.voxel_maps)
+    occ_dev = jnp.asarray(level.occ)  # zeros
+    code_dev = jnp.asarray(level.code)
+    nbr_dev = jnp.asarray(level.nbr27)
+    out = [
+        np.zeros((n, 8), np.uint8) for (_, _, n) in level.voxel_maps
+    ]
+    for stage in range(cfg.outstage):
+        pr = np.asarray(
+            sb_codec_probs(
+                params, cfg, code_dev, nbr_dev, occ_dev, level.slices
+            )
+        )
+        probs = [
+            pr[vb, stage, vs] for (vb, vs, n) in level.voxel_maps
+        ]
+        decs = binary_decode_batch(
+            probs, [stage_streams[i][stage] for i in range(f)]
+        )
+        col = np.zeros((level.nbr27.shape[0], SB_SLOTS), np.uint8)
+        for i, (vb, vs, n) in enumerate(level.voxel_maps):
+            out[i][:, stage] = decs[i]
+            col[vb, vs] = decs[i]
+        if stage < cfg.outstage - 1:
+            # channels >= stage+1 stay zero; the executable masks them
+            occ_dev = occ_set_stage(
+                occ_dev, jnp.asarray(col), jnp.int32(stage)
+            )
+    return out

@@ -39,7 +39,7 @@ class SbGopBatch:
     code: jax.Array      # (F, Bb, 512) int32 scale*128+feat, -1 empty
     occ: jax.Array       # (F, Bb, 8, 512) uint8
     point_num: jax.Array  # (F,) float32
-    level_slices: tuple  # static ((start, end), ...) per scale
+    level_slices: tuple  # static ((start, end, scale_idx), ...) per scale
 
     @property
     def n_frames(self):
@@ -69,7 +69,7 @@ def assemble_gop_superbricks(pyramids: list[FramePyramid]) -> SbGopBatch:
     offsets = np.cumsum([0] + buckets[:-1]).astype(np.int64)
     total = int(sum(buckets))
     level_slices = tuple(
-        (int(offsets[s]), int(offsets[s] + buckets[s])) for s in range(s_num)
+        (int(offsets[s]), int(offsets[s] + buckets[s]), s) for s in range(s_num)
     )
 
     f_nbr, f_code, f_occ = [], [], []
@@ -111,24 +111,120 @@ def sb_frame_loss(params, cfg: ModelConfig, fd: dict, level_slices,
     return bits / fd["point_num"]
 
 
+def level_groups(level_slices, max_group_bricks: int | None = None):
+    """Partition the (contiguous, ordered) level slices into groups for
+    sequential gradient accumulation.
+
+    Octree levels are independent given the parameters (the loss is a sum
+    over levels; no activation crosses a level boundary), so the frame
+    gradient can be accumulated group-by-group — peak HBM becomes the
+    largest group's working set instead of the whole frame's.  The finest
+    level is ~half of all bricks and is indivisible (halo exchanges cross
+    brick boundaries within a level), so it bounds the peak at ~50%.
+
+    Returns [(start, end, rebased_slices), ...] where rebased_slices are
+    (a - start, b - start, scale_idx) tuples.
+    """
+    total = level_slices[-1][1]
+    if max_group_bricks is None:
+        # group only at production scale; small (test) batches in one piece
+        max_group_bricks = total if total <= 4096 else max(total // 3, 1)
+    groups, cur = [], []
+    for sl in level_slices:
+        if cur and (sl[1] - cur[0][0]) > max_group_bricks:
+            groups.append(cur)
+            cur = []
+        cur.append(sl)
+    if cur:
+        groups.append(cur)
+    return [
+        (
+            g[0][0],
+            g[-1][1],
+            tuple((a - g[0][0], b - g[0][0], s) for (a, b, s) in g),
+        )
+        for g in groups
+    ]
+
+
 def make_epoch_fn_sb(cfg: ModelConfig, tc: TrainConfig, level_slices,
-                     compute_dtype=jnp.bfloat16):
+                     compute_dtype=jnp.bfloat16,
+                     max_group_bricks: int | None = None,
+                     stage_chunk: int | None = None):
     """Same contract as brick_overfit.make_epoch_fn_bricks.
 
-    The loss is wrapped in jax.checkpoint(policy=save_only_these_names
-    ('act')): conv outputs are saved for the backward pass, the multi-GB
-    halo/extraction temporaries are recomputed per conv (scatter-free
-    fold, ops/superbricks.sb_halo VJP)."""
+    Memory discipline, two layers:
+
+      * the loss is wrapped in jax.checkpoint(policy=save_only_these_names
+        ('act')): conv outputs are saved for the backward pass, the
+        multi-GB halo/extraction temporaries are recomputed per conv
+        (scatter-free fold, ops/superbricks.sb_halo VJP);
+
+      * at production scale the frame gradient is accumulated over
+        (LEVEL-GROUP x STAGE-CHUNK) units: the loss is a sum over both
+        axes (levels are disjoint node sets; stages are data-independent
+        given the inputs), so unit gradients sum to the exact full-frame
+        gradient.  value_and_grad runs per unit and
+        ``jax.lax.optimization_barrier`` chains each unit's forward on
+        the previous unit's gradients, forcing XLA to schedule them
+        sequentially — peak HBM is one unit's working set (the finest
+        level is indivisible along the brick axis since halo exchanges
+        cross brick boundaries, but its 8 stages chunk freely).
+        Adam/StepLR semantics are unchanged.
+    """
     policy = jax.checkpoint_policies.save_only_these_names(ACT)
+    groups = level_groups(level_slices, max_group_bricks)
+    total = level_slices[-1][1]
+    if stage_chunk is None:
+        # production: 3-stage chunks measured to peak ~14 GB at level-0
+        # sizes of ~20k bricks (4-stage chunks hit 18.3 GB > 15.75)
+        stage_chunk = cfg.outstage if total <= 4096 else 3
 
-    def loss_fn(p, fd):
-        return sb_frame_loss(p, cfg, fd, level_slices, compute_dtype)
+    def make_unit_fn(sub_slices, sa, sb_):
+        def bits_fn(p, sub):
+            mask = (sub["code"] >= 0).astype(compute_dtype)[:, None, None, :]
+            geom = dict(
+                nbr27=sub["nbr27"], mask=mask, code=sub["code"],
+                dtype=compute_dtype,
+            )
+            return sb_training_bits(
+                p, cfg, geom, sub["occ"], sub_slices, (sa, sb_)
+            )
 
-    loss_remat = jax.checkpoint(loss_fn, policy=policy)
+        return jax.checkpoint(bits_fn, policy=policy)
+
+    group_fns = [
+        (ga, gb, make_unit_fn(sub_slices, sa, min(sa + stage_chunk, cfg.outstage)))
+        for (ga, gb, sub_slices) in groups
+        for sa in range(0, cfg.outstage, stage_chunk)
+    ]
 
     @jax.jit
     def frame_step(params, opt, lr, k, fd):
-        loss, grads = jax.value_and_grad(loss_remat)(params, fd)
+        bits_total = jnp.zeros((), F32)
+        grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        p_in = params
+        for (ga, gb, fn) in group_fns:
+            nbr = fd["nbr27"][ga:gb]
+            sub = dict(
+                # neighbor indices are flat-global but stay within the
+                # level (levels are separate coordinate systems) — rebase
+                nbr27=jnp.where(nbr >= 0, nbr - jnp.int32(ga), -1),
+                code=fd["code"][ga:gb],
+                occ=fd["occ"][ga:gb],
+            )
+            bits, g = jax.value_and_grad(fn)(p_in, sub)
+            grads = jax.tree_util.tree_map(jnp.add, grads, g)
+            bits_total = bits_total + bits
+            # serialize: the next group's forward reads p_in, which now
+            # depends on this group's gradients
+            p_in, grads, bits_total = jax.lax.optimization_barrier(
+                (p_in, grads, bits_total)
+            )
+        loss = bits_total / fd["point_num"]
+        grads = jax.tree_util.tree_map(
+            lambda gi: gi / fd["point_num"], grads
+        )
         params, opt = adam_frame_update(params, opt, lr, grads, tc)
         k = k + 1
         lr = jnp.where(k % tc.step_size == 0, lr * tc.gamma, lr)

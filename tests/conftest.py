@@ -25,3 +25,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the test box has ONE cpu core, and the
+# trainer/codec graphs take tens of seconds each to compile — cache them
+# across test runs (jax supports the persistent cache on CPU).
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache_cpu")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:
+    pass

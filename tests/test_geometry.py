@@ -131,6 +131,35 @@ def test_down_then_up_is_identity(seed):
     assert np.all(np.asarray(ckeys)[len(pts):] == int(KEY_PAD))
 
 
+@pytest.mark.parametrize("seed", [0, 6])
+def test_numpy_octree_matches_device(seed):
+    """The host (numpy) geometry twins — used by preprocessing and the
+    superbrick codec's decoder-side rebuild — are integer-exact matches of
+    the device ops, including the parent-key re-sort (child lex order does
+    not imply parent lex order)."""
+    from linr_pcgc_tpu.ops.octree import (
+        np_feat_code,
+        np_octree_down,
+        np_octree_up,
+    )
+    from linr_pcgc_tpu.ops import neighbor_feature_code
+
+    rng = np.random.default_rng(seed)
+    pts = random_voxels(rng, 900, depth=6)
+    parents, occ = np_octree_down(pts)
+
+    keys = coord_key(jnp.asarray(pts), jnp.ones(len(pts), bool))
+    pc, pk, occ_d, n = octree_down(jnp.asarray(pts), keys, len(pts))
+    n = int(n)
+    assert n == len(parents)
+    np.testing.assert_array_equal(np.asarray(pc)[:n], parents)
+    np.testing.assert_array_equal(np.asarray(occ_d)[:n].astype(np.uint8), occ)
+    np.testing.assert_array_equal(np_octree_up(parents, occ), pts)
+
+    code_d = neighbor_feature_code(jnp.asarray(pts), keys)
+    np.testing.assert_array_equal(np_feat_code(pts), np.asarray(code_d))
+
+
 def test_neighbor_feature_code():
     rng = np.random.default_rng(5)
     pts = random_voxels(rng, 300, depth=4)

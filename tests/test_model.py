@@ -51,6 +51,32 @@ def test_param_count_matches_reference_architecture():
     assert param_count(params) == 54712
 
 
+def test_block_layers_param_counts():
+    """--block_layers 2 must build the reference-equivalent network
+    (ResNetBlock stacking, resnet.py:146-162): block_in gains one IRN
+    (1796 params at ch=8, k=3).  block_type='resnet' swaps the IRN for two
+    3^3 convs (resnet.py:63-94, 2 x 1736)."""
+    p2 = init_params(jax.random.PRNGKey(0), ModelConfig(block_layers=2))
+    assert param_count(p2) == 54712 + 1796
+    p3 = init_params(jax.random.PRNGKey(0), ModelConfig(block_layers=3))
+    assert param_count(p3) == 54712 + 2 * 1796
+    pr = init_params(
+        jax.random.PRNGKey(0), ModelConfig(block_type="resnet")
+    )
+    assert param_count(pr) == 54712 - 1796 + 2 * 1736
+
+
+def test_unsupported_config_rejected():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        ModelConfig(block_type="dilation")
+    with pytest.raises(ValueError):
+        ModelConfig(block_type="bogus")
+    with pytest.raises(ValueError):
+        ModelConfig(block_layers=0)
+
+
 def test_flatten_roundtrip():
     params = init_params(jax.random.PRNGKey(1), CFG)
     flat = flatten_params(params)

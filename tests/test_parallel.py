@@ -43,6 +43,82 @@ def test_dp_epoch_runs_and_learns():
     assert int(opt["t"]) == 8  # one optimizer step per epoch at F=D=8
 
 
+def test_dp_padding_zero_weight_frames():
+    """gop_size % D != 0: padded lanes carry loss_weight 0, so the update
+    equals the weighted mean over the real frames only."""
+    batch, cfg = make_batch(3)
+    tc = TrainConfig(step_size=10**9)
+    params0 = init_params(jax.random.PRNGKey(2), cfg)
+
+    mesh = make_mesh(4)
+    data = shard_gop(batch, mesh)  # 3 frames -> T=1, D=4 with one pad lane
+    assert data["loss_weight"].shape == (1, 4)
+    np.testing.assert_array_equal(
+        np.asarray(data["loss_weight"]), [[1.0, 1.0, 1.0, 0.0]]
+    )
+    epoch_fn = make_epoch_fn_dp(cfg, tc, mesh)
+    p_dp, _, _, _, _ = epoch_fn(
+        jax.tree_util.tree_map(jnp.copy, params0),
+        adam_init(params0),
+        jnp.asarray(0.01, jnp.float32),
+        jnp.zeros((), jnp.int32),
+        data,
+    )
+
+    from linr_pcgc_tpu.runtime.overfit import (
+        adam_frame_update,
+        batch_arrays,
+        frame_loss,
+    )
+
+    arrays = batch_arrays(batch)
+
+    def mean_loss(p):
+        losses = jax.vmap(lambda one: frame_loss(p, cfg, one))(arrays)
+        return losses.mean()  # mean over the 3 REAL frames
+
+    grads = jax.grad(mean_loss)(params0)
+    p_ref, _ = adam_frame_update(
+        params0, adam_init(params0), jnp.asarray(0.01, jnp.float32), grads, tc
+    )
+    np.testing.assert_allclose(
+        np.asarray(flatten_params(p_dp)),
+        np.asarray(flatten_params(p_ref)),
+        rtol=1e-3, atol=1e-5,
+    )
+
+
+def test_dp_cli_trainer_rate_parity(tmp_path):
+    """The production path: overfit_gop(devices=4) trains on the mesh and
+    reaches a loss comparable to the sequential parity trainer at the
+    matched schedule (step_size / D conversion)."""
+    from linr_pcgc_tpu.runtime import overfit_gop
+    from linr_pcgc_tpu.runtime.codec import params_template
+    from linr_pcgc_tpu.runtime.overfit import load_checkpoint
+
+    frames = [synthetic_cloud(900, depth=6, seed=s) for s in range(4)]
+    ds = PyramidDataset(frames, handle_dir=None)
+    ds[0]
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    tc = TrainConfig()
+    epochs = 6
+
+    losses = {}
+    for name, devices in (("seq", 1), ("dp", 4)):
+        rd = str(tmp_path / name)
+        path = overfit_gop(
+            dataset=ds, group_range=range(4), epoch_num=epochs, cfg=cfg,
+            tc=tc, result_dir=rd, handle_dir=str(tmp_path / f"tmp_{name}"),
+            devices=devices, backend="gather",
+        )
+        _, _, meta = load_checkpoint(path, params_template(cfg))
+        losses[name] = meta["loss"]
+
+    # large-batch DP trades per-frame steps for parallel speed; rate must
+    # stay comparable (not bit-identical) at matched decay cadence
+    assert losses["dp"] < losses["seq"] * 1.25, losses
+
+
 def test_dp_matches_single_device_batch_gradient():
     """One DP super-step over 4 frames == the same batched update computed
     without a mesh (numerical agreement of the mean-gradient path)."""

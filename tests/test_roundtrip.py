@@ -197,6 +197,97 @@ def test_full_gop_pipeline_lossless(tmp_path):
     )
 
 
+def test_sb_codec_host_geometry_matches_device():
+    """The sb codec rebuilds geometry host-side; it must agree with the
+    device pipeline that produced the pyramid: feature codes per level and
+    the upsample between levels are integer-exact matches."""
+    from linr_pcgc_tpu.runtime.sb_codec import np_feat_code, np_octree_up
+
+    ds, _ = small_dataset(1, n_pts=2200)
+    pyr = ds[0]
+    for s in range(pyr.scale_num):
+        lev = pyr.levels[s]
+        np.testing.assert_array_equal(
+            np_feat_code(lev.coords[: lev.n]), lev.feat_code[: lev.n]
+        )
+        if s > 0:
+            finer = pyr.levels[s - 1]
+            np.testing.assert_array_equal(
+                np_octree_up(lev.coords[: lev.n], lev.occ[: lev.n]),
+                finer.coords[: finer.n],
+            )
+
+
+def test_gather_codec_backend_lossless():
+    """The flat gather codec path (kernel_size != 3 dispatch) stays
+    correct: force it explicitly on a default-config model."""
+    from linr_pcgc_tpu.runtime.codec import (
+        encode_gop_streams_gather,
+        decode_gop_streams_gather,
+    )
+
+    ds, frames = small_dataset(2, n_pts=1500)
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    params = init_params(jax.random.PRNGKey(4), cfg)
+    pyrs = [ds[0], ds[1]]
+    blobs, _ = encode_gop_streams_gather(params, cfg, pyrs)
+    decoded = decode_gop_streams_gather(
+        params, cfg, blobs, [p.low_coords for p in pyrs]
+    )
+    for i, dec in enumerate(decoded):
+        np.testing.assert_array_equal(
+            dec, np.unique(frames[i] - frames[i].min(axis=0), axis=0)
+        )
+
+
+def test_standalone_decode_from_bins_alone(tmp_path):
+    """Decode needs only the bitstream directory: the model architecture is
+    reconstructed from side_info.json (cfg=None), no dataset, no ground
+    truth — the reference decoder's independence (decoder.py:16-150)."""
+    ds, frames = small_dataset(2, n_pts=1500)
+    cfg = ModelConfig(
+        scale_num=ds.scale_num, hidden_channel_conv=8, kernel_size=3
+    )
+    params = init_params(jax.random.PRNGKey(5), cfg)
+    from linr_pcgc_tpu.runtime.overfit import adam_init as _ai, save_checkpoint
+
+    model_path = str(tmp_path / "model.npz")
+    save_checkpoint(model_path, params, _ai(params), 0.01, 0, 1.0, 8)
+    enc_dir = str(tmp_path / "enc" / "gop_0_1")
+    pyrs = [ds[0], ds[1]]
+    encode_gop(model_path, pyrs, enc_dir, cfg)
+
+    import json
+
+    with open(os.path.join(enc_dir, "side_info.json")) as f:
+        side = json.load(f)
+    assert side["model_cfg"]["scale_num"] == ds.scale_num
+
+    decoded = decode_gop(enc_dir, str(tmp_path / "dec"), cfg=None,
+                         write_flag=True)
+    for i, dec in enumerate(decoded):
+        np.testing.assert_array_equal(dec, np.unique(frames[i], axis=0))
+
+    # the CLI path: decode-only with no ori_dir present
+    from linr_pcgc_tpu import cli
+
+    cli.main(
+        [
+            "--decode", "True", "--overfit", "False", "--encode", "False",
+            "--ori_dir", str(tmp_path / "missing"),
+            "--encode_dir", str(tmp_path / "enc"),
+            "--decode_dir", str(tmp_path / "dec_cli"),
+            "--result_dir", str(tmp_path / "out_cli"),
+        ]
+    )
+    from linr_pcgc_tpu.data import read_ply
+
+    np.testing.assert_array_equal(
+        read_ply(str(tmp_path / "dec_cli" / "frame0001.ply")),
+        np.unique(frames[1], axis=0),
+    )
+
+
 def test_overfit_resume(tmp_path):
     """Interrupted GOP training continues from its own checkpoint."""
     from linr_pcgc_tpu.runtime import overfit_gop

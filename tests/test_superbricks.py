@@ -60,9 +60,12 @@ def test_sb_halo_against_dense():
     bb = lev.n_bricks
     c = 3
     rng = np.random.default_rng(2)
+    from linr_pcgc_tpu.ops.superbricks import halo_group_to_spatial
+
     x = rng.normal(size=(bb, c, SB_SLOTS)).astype(np.float32)
     halo = np.asarray(sb_halo(jnp.asarray(x), jnp.asarray(lev.nbr27)))
-    assert halo.shape == (bb, c, 10, 10, 10)
+    assert halo.shape == (bb, c, 10, 100)  # group-ordered, layout-friendly
+    halo = halo_group_to_spatial(halo)
 
     xv = x.reshape(bb, c, 8, 8, 8)
     bmap = {tuple(bc): i for i, bc in enumerate(lev.brick_coords)}
@@ -93,7 +96,7 @@ def test_sb_halo_vjp_matches_autodiff_of_forward():
     x = jnp.asarray(rng.normal(size=(lev.n_bricks, 2, SB_SLOTS)), jnp.float32)
     nbr = jnp.asarray(lev.nbr27)
     ct = jnp.asarray(
-        rng.normal(size=(lev.n_bricks, 2, 10, 10, 10)), jnp.float32
+        rng.normal(size=(lev.n_bricks, 2, 10, 100)), jnp.float32
     )
     g_custom = jax.vjp(lambda a: sb_halo(a, nbr), x)[1](ct)[0]
     g_auto = jax.vjp(lambda a: _halo_forward(a, nbr), x)[1](ct)[0]
@@ -117,7 +120,9 @@ def test_sb_extract_and_weight_matrix_reproduce_conv():
     y = np.asarray(jnp.einsum("pbk,kn->pbn", ext, w2))  # (8, Bb, cout*64)
 
     # brute force at a few voxels
-    hv = np.asarray(halo)
+    from linr_pcgc_tpu.ops.superbricks import halo_group_to_spatial
+
+    hv = halo_group_to_spatial(np.asarray(halo))
     dirs = [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1) for c in (-1, 0, 1)]
     for vi in range(0, lev.n_vox, max(1, lev.n_vox // 20)):
         b, s = lev.voxel_brick[vi], lev.voxel_slot[vi]
@@ -216,4 +221,98 @@ def test_sb_training_matches_brick_training():
         ps, os_, lrs, ks, ls = fs(ps, os_, lrs, ks, sb)
         np.testing.assert_allclose(
             np.asarray(lb), np.asarray(ls), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_sb_matches_brick_with_stacked_and_resnet_blocks():
+    """block_layers=2 and block_type='resnet' produce identical logits on
+    the 4^3 and 8^3 backends (the stacked-core dispatch is shared code on
+    the flat backend; here the two brick layouts cross-check each other)."""
+    pyrs, s_num = _gop(n_frames=1, n_points=1200, depth=5)
+    for kwargs in ({"block_layers": 2}, {"block_type": "resnet"}):
+        cfg = ModelConfig(scale_num=s_num, **kwargs)
+        params = init_params(jax.random.PRNGKey(7), cfg)
+        bb = assemble_gop_bricks(pyrs)
+        sb = assemble_gop_superbricks(pyrs)
+        geom_b = dict(
+            nbr27=bb.nbr27[0],
+            mask=bb.mask[0].astype(jnp.float32)[:, None, :],
+            code=bb.code[0],
+            dtype=jnp.float32,
+        )
+        logits_b = np.asarray(
+            brick_forward_all_stages(
+                params, cfg, geom_b, bb.occ[0].astype(jnp.float32),
+                bb.level_slices,
+            )
+        )
+        mask_s = (sb.code[0] >= 0).astype(jnp.float32)[:, None, None, :]
+        geom_s = dict(
+            nbr27=sb.nbr27[0], mask=mask_s, code=sb.code[0],
+            dtype=jnp.float32,
+        )
+        logits_s = np.asarray(
+            sb_forward_all_stages(
+                params, cfg, geom_s, sb.occ[0].astype(jnp.float32),
+                sb.level_slices,
+            )
+        )
+        from linr_pcgc_tpu.ops.bricks import build_brick_level
+        from linr_pcgc_tpu.ops.superbricks import build_superbrick_level
+
+        p = pyrs[0]
+        for s in range(s_num):
+            lev = p.levels[s]
+            l4 = build_brick_level(
+                lev.coords[: lev.n], lev.occ[: lev.n], lev.feat_code[: lev.n], s
+            )
+            l8 = build_superbrick_level(
+                lev.coords[: lev.n], lev.occ[: lev.n], lev.feat_code[: lev.n], s
+            )
+            a4 = bb.level_slices[s][0]
+            a8 = sb.level_slices[s][0]
+            v4 = logits_b[:, a4 + l4.voxel_brick, l4.voxel_slot]
+            v8 = logits_s[a8 + l8.voxel_brick, :, l8.voxel_slot].T
+            np.testing.assert_allclose(v4, v8, rtol=2e-4, atol=2e-4)
+
+
+def test_sb_grouped_grad_accumulation_matches_single():
+    """Level-grouped gradient accumulation (the production memory path)
+    reproduces the single-pass training trajectory: the loss is a sum over
+    levels, so group-wise grads sum to the full-frame grad."""
+    pyrs, s_num = _gop()
+    cfg = ModelConfig(scale_num=s_num)
+    tc = TrainConfig()
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    sb = assemble_gop_superbricks(pyrs)
+    total = sb.level_slices[-1][1]
+
+    from linr_pcgc_tpu.runtime.sb_overfit import level_groups
+
+    forced = max(total // 2, 64)
+    assert len(level_groups(sb.level_slices, forced)) >= 2
+
+    f1 = make_epoch_fn_sb(
+        cfg, tc, sb.level_slices, compute_dtype=jnp.float32,
+        max_group_bricks=total, stage_chunk=8,
+    )
+    fg = make_epoch_fn_sb(
+        cfg, tc, sb.level_slices, compute_dtype=jnp.float32,
+        max_group_bricks=forced, stage_chunk=4,
+    )
+    p1 = pg = params
+    o1, og = adam_init(p1), adam_init(pg)
+    lr1 = lrg = jnp.asarray(tc.learning_rate, jnp.float32)
+    k1 = kg = jnp.zeros((), jnp.int32)
+    for _ in range(2):
+        p1, o1, lr1, k1, l1 = f1(p1, o1, lr1, k1, sb)
+        pg, og, lrg, kg, lg = fg(pg, og, lrg, kg, sb)
+        np.testing.assert_allclose(
+            np.asarray(l1), np.asarray(lg), rtol=1e-5, atol=1e-5
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(pg)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )
