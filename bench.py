@@ -55,10 +55,15 @@ def main():
     cfg = ModelConfig(scale_num=ds.scale_num)
     tc = TrainConfig()
     if backend == "sb":
-        batch = assemble_gop_superbricks(pyrs)
+        side = int(os.environ.get("BENCH_SIDE", "4"))
+        batch = assemble_gop_superbricks(pyrs, side=side)
         arrays = batch
         log(f"gop assembled (superbricks) in {time.time()-t0:.1f}s; flat superbricks={batch.nbr27.shape[1]}")
-        epoch_fn = make_epoch_fn_sb(cfg, tc, batch.level_slices)
+        sc_env = os.environ.get("BENCH_STAGE_CHUNK")
+        epoch_fn = make_epoch_fn_sb(
+            cfg, tc, batch.level_slices, slots=side**3,
+            stage_chunk=int(sc_env) if sc_env else None,
+        )
     elif backend == "bricks":
         batch = assemble_gop_bricks(pyrs)
         arrays = batch

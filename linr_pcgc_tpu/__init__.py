@@ -1,6 +1,6 @@
 """linr_pcgc_tpu — a TPU-native lossless point-cloud geometry codec framework.
 
-A ground-up JAX/XLA/Pallas rebuild of the capabilities of LINR-PCGC (ICCV 2025,
+A ground-up JAX/XLA rebuild of the capabilities of LINR-PCGC (ICCV 2025,
 reference implementation studied at /root/reference): an INR/overfitting codec
 where a tiny multiscale sparse network is overfit per group-of-frames (GOP),
 its quantized weights are entropy-coded, and per-frame octree occupancy bits

@@ -42,11 +42,15 @@ from jax.ad_checkpoint import checkpoint_name
 
 from .network import ModelConfig, _PREC, F32, LN2, stack_outer_blocks
 from ..ops.superbricks import (
+    B4_HALO_VOL,
+    B4_SLOTS,
     SB_SLOTS,
     SUB_HALO,
     SUB_HALO_VOL,
     SUB_OFFSETS,
     SUB_SLOTS,
+    b4_halo,
+    b4_conv_weight_matrix,
     sb_halo,
     sb_conv_weight_matrix,
     sb_yz_select,
@@ -65,8 +69,36 @@ def _acc(dt):
     return F32 if dt == F32 else dt
 
 
+def b4conv3(x, geom, w, b):
+    """Stage-batched 3^3 conv at 4^3 brick granularity — the hot path.
+
+    x: (Bb, S, C, 64); w: (S, 27, C, O); b: (S, O).  ONE halo exchange in
+    the flat group-ordered (Bb, S*C, 216) layout, which IS the conv
+    matmul operand: the weight matrix (b4_conv_weight_matrix) encodes the
+    spatial un-permutation, so there is no extraction, no selection, and
+    no output assembly (the einsum's (Bb, S, O*64) output is the brick).
+    The barrier materializes the halo once instead of letting XLA refuse
+    the 27 fragment gathers into the matmul operand read.
+    Returns (Bb, S, O, 64), tagged as a saved activation.
+    """
+    dt = geom["dtype"]
+    bb, s, c, _ = x.shape
+    o = w.shape[-1]
+    xm = x.astype(dt).reshape(bb, s * c, B4_SLOTS)
+    h = jax.lax.optimization_barrier(b4_halo(xm, geom["nbr27"]))
+    ext = h.reshape(bb, s, c * B4_HALO_VOL)
+    w2 = b4_conv_weight_matrix(w).astype(dt)  # (S, C*216, O*64)
+    y = jnp.einsum(
+        "bsk,skn->bsn", ext, w2,
+        precision=_prec(dt), preferred_element_type=_acc(dt),
+    ).reshape(bb, s, o, B4_SLOTS)
+    y = (y + b[None, :, :, None]) * geom["mask"]
+    return checkpoint_name(y.astype(dt), ACT)
+
+
 def sbconv3(x, geom, w, b):
-    """Stage-batched 3^3 superbrick conv.
+    """Stage-batched 3^3 superbrick conv (dispatches to the 4^3 fast path
+    when the slot axis says so).
 
     x: (Bb, S, C, 512); w: (S, 27, C, O) canonical kernel; b: (S, O).
     One halo exchange at 8^3 over the merged (S*C) channel axis — in the
@@ -79,6 +111,8 @@ def sbconv3(x, geom, w, b):
     slots, bias + slot mask.
     Returns (Bb, S, O, 512), tagged as a saved activation.
     """
+    if x.shape[-1] == B4_SLOTS:
+        return b4conv3(x, geom, w, b)
     dt = geom["dtype"]
     bb, s, c, _ = x.shape
     o = w.shape[-1]
@@ -203,7 +237,7 @@ def sb_input_features(params, cfg: ModelConfig, geom, level_slices):
         seg = jnp.concatenate(
             [
                 jnp.broadcast_to(
-                    emb[None, :, None], (b - a, emb.shape[0], SB_SLOTS)
+                    emb[None, :, None], (b - a, emb.shape[0], code.shape[-1])
                 )
                 * seg_geom["mask"][:, 0],
                 bits[a:b],
@@ -285,6 +319,67 @@ def sb_forward_all_stages(params, cfg: ModelConfig, geom, occ_t, level_slices,
         },
     )  # (Bb, b-a, 1, 512)
     return logits[:, :, 0, :]
+
+
+def sb_x_glob(params, cfg: ModelConfig, geom, level_slices):
+    """The stage-independent context: input embedding -> block_in.
+    Computed ONCE per (frame, level-group) and shared by every stage
+    chunk via explicit VJP composition in the trainer (block_in is 5 of
+    the 11 convolutions of a stage pass — recomputing it per chunk was
+    pure waste).  Returns (Bb, 1, ch, slots)."""
+    intensor = sb_input_features(params, cfg, geom, level_slices)
+    return _sb_block(intensor, geom, _stack1(params["block_in"]))
+
+
+def sb_chunk_bits(params, cfg: ModelConfig, geom, occ_t, base, cs: int,
+                  x_glob):
+    """Masked sum-BCE bits of the ``cs`` stages starting at traced index
+    ``base``, given a precomputed ``x_glob``.
+
+    Uniform shapes for every chunk (so ONE compiled graph serves all
+    chunk positions): stage j's context block is indexed clip(j-1, 0) and
+    its output is multiplied by [j > 0] — stage 0 wastes one context
+    evaluation (~1/8 of context work) to avoid a shape-changing branch,
+    exactly the trick of network.stage_context_traced.
+    """
+    dt = geom["dtype"]
+    k = cfg.outstage - 1
+    occ_f = occ_t.astype(dt)
+    rows = base + jnp.arange(cs)  # traced stage indices
+    occ7 = occ_f[:, :k, :]
+    tri = (rows[:, None] > jnp.arange(k)[None, :]).astype(dt)
+    occ_b = occ7[:, None, :, :] * tri[None, :, :, None]
+    occ_b = occ_b * geom["mask"]
+
+    st = stack_outer_blocks(params, cfg)
+    idx = jnp.clip(rows - 1, 0)
+    tk = lambda a: jnp.take(a, idx, axis=0)
+    outer = {
+        "conv_in": {"w": tk(st["conv_in_w"]), "b": tk(st["conv_in_b"])},
+        "irn": jax.tree_util.tree_map(tk, st["irn"]),
+        "conv_out": jax.tree_util.tree_map(tk, st["conv_out"]),
+    }
+    ctx = _sb_block(occ_b, geom, outer)  # (Bb, cs, ch, slots)
+    gate = (rows > 0).astype(dt)[None, :, None, None]
+    ctx_full = x_glob + gate * ctx
+
+    tr = lambda a: jnp.take(a, rows, axis=0)
+    h = sbconv3(ctx_full, geom, tr(params["prune"]["w"]), tr(params["prune"]["b"]))
+    logits = _sb_mlp2(
+        h,
+        geom,
+        {"w": tr(params["inner_mlp"]["l0"]["w"]), "b": tr(params["inner_mlp"]["l0"]["b"])},
+        {"w": tr(params["inner_mlp"]["l1"]["w"]), "b": tr(params["inner_mlp"]["l1"]["b"])},
+    )[:, :, 0, :].astype(F32)
+
+    occ = jax.lax.dynamic_slice_in_dim(occ_t, base, cs, axis=1).astype(F32)
+    bce = (
+        jnp.maximum(logits, 0.0)
+        - logits * occ
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+    bce = bce * geom["mask"][:, 0].astype(F32)
+    return jnp.sum(bce) / LN2
 
 
 def sb_training_bits(params, cfg: ModelConfig, geom, occ_t, level_slices,

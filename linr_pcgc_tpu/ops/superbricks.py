@@ -81,21 +81,27 @@ def build_superbrick_level(
     occ: np.ndarray,
     feat_code: np.ndarray,
     scale_idx: int,
+    side: int = 8,
 ) -> SuperBrickLevel:
-    """Brickify one level at 8^3.  Inputs are the *trimmed* per-level
-    arrays in canonical voxel order: coords (n,3), occ (n,8),
+    """Brickify one level at side^3 (8 or 4).  Inputs are the *trimmed*
+    per-level arrays in canonical voxel order: coords (n,3), occ (n,8),
     feat_code (n,)."""
     n = len(coords)
     c = coords.astype(np.int64)
-    bkey = _np_key(coords >> 3)
+    shift = side.bit_length() - 1
+    m = side - 1
+    slots = side**3
+    bkey = _np_key(coords >> shift)
     brick_keys, inv = np.unique(bkey, return_inverse=True)
     bb = len(brick_keys)
-    slot = ((c[:, 0] & 7) << 6) | ((c[:, 1] & 7) << 3) | (c[:, 2] & 7)
+    slot = (
+        ((c[:, 0] & m) << (2 * shift)) | ((c[:, 1] & m) << shift) | (c[:, 2] & m)
+    )
     slot = slot.astype(np.int32)
 
-    scale_code = np.full((bb, SB_SLOTS), -1, np.int32)
+    scale_code = np.full((bb, slots), -1, np.int32)
     scale_code[inv, slot] = scale_idx * 128 + feat_code.astype(np.int32)
-    occ_b = np.zeros((bb, 8, SB_SLOTS), np.uint8)
+    occ_b = np.zeros((bb, 8, slots), np.uint8)
     occ_b[inv, :, slot] = occ.astype(np.uint8)
 
     brick_coords = _np_unkey(brick_keys)
@@ -333,6 +339,239 @@ def sb_yz_select(hx, j: int, k: int):
     spatial minor dims are ever materialized)."""
     sel = _YZ_SELECT[(j, k)].astype(hx.dtype)
     return jnp.einsum("bcxg,gw->bcxw", hx, sel)
+
+
+# ------------------------------------------------ 4^3 bricks, flat halo --
+#
+# The 8^3 layout amortizes gather rows but pays a measured ~65 ms/conv to
+# extract its eight 6^3 sub-halos (every formulation — slicing einsums,
+# minor-axis takes, selection dots — is bandwidth-bound on re-reading the
+# padded halo).  At 4^3 the brick IS the compute tile: the halo IS the
+# conv matmul operand, with the un-permutation folded into the weight
+# matrix.  Occupancy is also ~2x better (fewer empty slots on thin
+# surfaces), shrinking every tensor.
+#
+# Flat halo layout (Bb, C, 216), F = plane*36 + g:
+#   plane: the 6 x-planes [from -x nbr | own 4 | from +x nbr]
+#   g: group-ordered yz columns of one plane:
+#     [ 0, 16)  center 4x4, (y-1)*4 + (z-1) at spatial (y, z)
+#     [16, 20)  y=0 row (-y side), z spatial 1..4
+#     [20, 24)  y=5 row (+y side), z spatial 1..4
+#     [24, 28)  z=0 col (-z side), y spatial 1..4
+#     [28, 32)  z=5 col (+z side), y spatial 1..4
+#     [32, 36)  corners (y,z) = (0,0), (0,5), (5,0), (5,5)
+#
+# Everything is 3-D with minor dims {16..216} -> lane pads <= 2x; the
+# assembly is two levels of minor-axis concatenation.
+
+B4 = 4
+B4_SLOTS = 64
+B4_HALO = 6            # halo planes per axis
+B4_PLANE = 36          # group-ordered yz columns per plane
+B4_HALO_VOL = 216
+
+_B4_X_SRC = {-1: (B4 - 1, B4), 0: (0, B4), 1: (0, 1)}
+_B4_X_DST = {-1: (0, 1), 0: (1, 1 + B4), 1: (1 + B4, B4_HALO)}
+
+
+def _b4_group_slot(y: int, z: int) -> int:
+    """Spatial (y, z) in [0, 6)^2 -> group-ordered column in [0, 36)."""
+    if 1 <= y <= 4 and 1 <= z <= 4:
+        return (y - 1) * 4 + (z - 1)
+    if y == 0 and 1 <= z <= 4:
+        return 16 + (z - 1)
+    if y == 5 and 1 <= z <= 4:
+        return 20 + (z - 1)
+    if z == 0 and 1 <= y <= 4:
+        return 24 + (y - 1)
+    if z == 5 and 1 <= y <= 4:
+        return 28 + (y - 1)
+    return 32 + {(0, 0): 0, (0, 5): 1, (5, 0): 2, (5, 5): 3}[(y, z)]
+
+
+# destination column range within a plane's 36, per (dy, dz)
+_B4_YZ_DST = {
+    (0, 0): (0, 16),
+    (-1, 0): (16, 20),
+    (1, 0): (20, 24),
+    (0, -1): (24, 28),
+    (0, 1): (28, 32),
+    (-1, -1): (32, 33),
+    (-1, 1): (33, 34),
+    (1, -1): (34, 35),
+    (1, 1): (35, 36),
+}
+
+
+def _b4_yz_cols(slab, dy, dz):
+    """Source yz columns (of a (Bb, C, px, 16) plane slab, 16 = y*4+z)
+    that a (dy, dz) neighbor ships."""
+    if (dy, dz) == (0, 0):
+        return slab
+    if (dy, dz) == (-1, 0):
+        return slab[..., 12:16]   # its y=3 row
+    if (dy, dz) == (1, 0):
+        return slab[..., 0:4]     # its y=0 row
+    if (dy, dz) == (0, -1):
+        return slab[..., 3::4]    # its z=3 col
+    if (dy, dz) == (0, 1):
+        return slab[..., 0::4]    # its z=0 col
+    if (dy, dz) == (-1, -1):
+        return slab[..., 15:16]
+    if (dy, dz) == (-1, 1):
+        return slab[..., 12:13]
+    if (dy, dz) == (1, -1):
+        return slab[..., 3:4]
+    return slab[..., 0:1]
+
+
+def _b4_yz_src_pad(dy, dz, piece):
+    """Inverse of _b4_yz_cols: zero-pad a gradient piece back to 16 source
+    columns (interior padding realizes the stride-4 z columns)."""
+    if (dy, dz) == (0, 0):
+        return piece
+    pads = {
+        (-1, 0): (12, 0, 0),
+        (1, 0): (0, 12, 0),
+        (0, -1): (3, 0, 3),
+        (0, 1): (0, 3, 3),
+        (-1, -1): (15, 0, 0),
+        (-1, 1): (12, 3, 0),
+        (1, -1): (3, 12, 0),
+        (1, 1): (0, 15, 0),
+    }[(dy, dz)]
+    cfg = [(0, 0, 0)] * (piece.ndim - 1) + [pads]
+    out = jax.lax.pad(piece, jnp.zeros((), piece.dtype), cfg)
+    assert out.shape[-1] == 16, (pads, out.shape)
+    return out
+
+
+def _b4_halo_forward(x, nbr27):
+    """x (Bb, C, 64) -> (Bb, C, 216) flat group-ordered halo.
+
+    Fragment discipline: a gather operand materializes, and a 4-D
+    (Bb, C, px<=4, w<=16) fragment tiles to (8, 128) — a measured 16x
+    padding blow-up that made the naive formulation ~117 ms at level-0
+    shapes.  Each fragment is therefore flattened to (Bb, C*px*w) (minor
+    512-2048, ~unpadded) before the gather; the assembly reads it back
+    through a reshape view inside the concat fusion.
+    """
+    bb, c, _ = x.shape
+    xv = x.reshape(bb, c, B4, 16)
+
+    frags = {}
+    for d in _DIRS:
+        dx, dy, dz = d
+        sx = _B4_X_SRC[dx]
+        cols = _b4_yz_cols(xv[:, :, sx[0]: sx[1], :], dy, dz)
+        if d == (0, 0, 0):
+            frags[d] = cols
+        else:
+            px, w = cols.shape[2], cols.shape[3]
+            flat = cols.reshape(bb, c * px * w)
+            g = _gather_rows(flat, nbr27[:, _DIRS.index(d)])
+            frags[d] = g.reshape(bb, c, px, w)
+
+    planes = []
+    for hp in range(B4_HALO):
+        dx = -1 if hp == 0 else (1 if hp == B4_HALO - 1 else 0)
+        sp = 0 if dx != 0 else hp - 1  # index within the fragment's px axis
+        planes.append(
+            jnp.concatenate(
+                [frags[(dx, dy, dz)][:, :, sp, :] for (dy, dz) in _YZ_ORDER],
+                axis=2,
+            )
+        )
+    return jnp.concatenate(planes, axis=2)  # (Bb, C, 216)
+
+
+@jax.custom_vjp
+def b4_halo(x, nbr27):
+    """(Bb, C, 64), (Bb, 27) -> (Bb, C, 216) flat group-ordered halo."""
+    return _b4_halo_forward(x, nbr27)
+
+
+def _b4_halo_fwd(x, nbr27):
+    return _b4_halo_forward(x, nbr27), nbr27
+
+
+def _b4_halo_bwd(nbr27, dh):
+    """Scatter-free fold on the flat 216 layout: per direction, gather the
+    destination window over the -d map, zero-pad to source columns, and
+    accumulate per source x-plane; the plane sums concatenate back to the
+    flat 64.  Everything 3-D (transient 4-D stacks only feed gathers)."""
+    bb, c = dh.shape[0], dh.shape[1]
+    dh = jax.lax.optimization_barrier(dh)
+    # per-source-plane accumulators, each (Bb, C, 16)
+    g0, g1 = _B4_YZ_DST[(0, 0)]
+    acc = [
+        dh[:, :, (1 + q) * B4_PLANE + g0: (1 + q) * B4_PLANE + g1]
+        for q in range(B4)
+    ]
+    for d in _DIRS:
+        if d == (0, 0, 0):
+            continue
+        dx, dy, dz = d
+        mk = _DIRS.index((-dx, -dy, -dz))
+        x0, x1 = _B4_X_DST[dx]
+        c0, c1 = _B4_YZ_DST[(dy, dz)]
+        px, w = x1 - x0, c1 - c0
+        window = jnp.concatenate(
+            [
+                dh[:, :, p * B4_PLANE + c0: p * B4_PLANE + c1]
+                for p in range(x0, x1)
+            ],
+            axis=2,
+        ).reshape(bb, c * px * w)  # flat: gather operands must not be
+        # small-minor 4-D (16x tile padding, see _b4_halo_forward)
+        piece = _gather_rows(window, nbr27[:, mk]).reshape(bb, c, px, w)
+        piece = _b4_yz_src_pad(dy, dz, piece)  # (Bb, C, px, 16)
+        s0, _ = _B4_X_SRC[dx]
+        for q in range(piece.shape[2]):
+            acc[s0 + q] = acc[s0 + q] + piece[:, :, q, :]
+    d_nbr = np.zeros(nbr27.shape, dtype=jax.dtypes.float0)
+    return jnp.concatenate(acc, axis=2), d_nbr
+
+
+b4_halo.defvjp(_b4_halo_fwd, _b4_halo_bwd)
+
+
+def b4_halo_to_spatial(h: np.ndarray) -> np.ndarray:
+    """Test/debug helper: (Bb, C, 216) flat group halo -> dense
+    (Bb, C, 6, 6, 6) spatial halo (numpy)."""
+    bb, c = h.shape[0], h.shape[1]
+    out = np.zeros((bb, c, B4_HALO, B4_HALO, B4_HALO), h.dtype)
+    for xp in range(B4_HALO):
+        for y in range(B4_HALO):
+            for z in range(B4_HALO):
+                out[:, :, xp, y, z] = h[
+                    :, :, xp * B4_PLANE + _b4_group_slot(y, z)
+                ]
+    return out
+
+
+def _b4_sel_tensor():
+    """SEL4 (27, 64, 216): output slot s (4^3, slot = x*16 + y*4 + z) with
+    conv offset k reads flat halo column plane*36 + group(y', z')."""
+    sel = np.zeros((27, B4_SLOTS, B4_HALO_VOL), np.float32)
+    for k, (dx, dy, dz) in enumerate(_DIRS):
+        for s in range(B4_SLOTS):
+            x, y, z = s >> 4, (s >> 2) & 3, s & 3
+            f = (x + dx + 1) * B4_PLANE + _b4_group_slot(y + dy + 1, z + dz + 1)
+            sel[k, s, f] = 1.0
+    return sel
+
+
+_SEL_B4 = jnp.asarray(_b4_sel_tensor())  # (27, 64, 216)
+
+
+def b4_conv_weight_matrix(w):
+    """(..., 27, Cin, Cout) canonical kernel -> (..., Cin*216, Cout*64)
+    dense conv matrix in the FLAT GROUP halo order (matches b4_halo), so
+    the halo feeds the MXU directly — no extraction step exists at 4^3."""
+    cin, cout = w.shape[-2], w.shape[-1]
+    w2 = jnp.einsum("ksh,...kco->...chos", _SEL_B4, w)
+    return w2.reshape(*w.shape[:-3], cin * B4_HALO_VOL, cout * B4_SLOTS)
 
 
 # ------------------------------------------------- sub-halo extraction + W --

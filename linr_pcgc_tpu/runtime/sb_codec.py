@@ -69,11 +69,17 @@ def build_codec_level(
     frame_coords: list[np.ndarray],
     scale_idx: int,
     frame_occs: list[np.ndarray] | None = None,
+    side: int = 4,
 ) -> CodecLevel:
     """Brickify one level of every frame.  ``frame_coords`` are trimmed,
     canonically sorted coordinate arrays; ``frame_occs`` the ground-truth
-    occupancies (encoder) or None (decoder: zeros until decoded)."""
+    occupancies (encoder) or None (decoder: zeros until decoded).
+
+    ``side`` must match between encoder and decoder (it determines the
+    executable and hence the f32 probability bits); both default to the
+    4^3 fast path."""
     f = len(frame_coords)
+    slots = side**3
     levs = []
     for i, c in enumerate(frame_coords):
         occ = (
@@ -81,11 +87,13 @@ def build_codec_level(
             if frame_occs is not None
             else np.zeros((len(c), 8), np.uint8)
         )
-        levs.append(build_superbrick_level(c, occ, np_feat_code(c), scale_idx))
+        levs.append(
+            build_superbrick_level(c, occ, np_feat_code(c), scale_idx, side=side)
+        )
     b = _sb_bucket(max(lev.n_bricks for lev in levs))
     nbr = np.full((f * b, 27), -1, np.int32)
-    code = np.full((f * b, SB_SLOTS), -1, np.int32)
-    occ_b = np.zeros((f * b, 8, SB_SLOTS), np.uint8)
+    code = np.full((f * b, slots), -1, np.int32)
+    occ_b = np.zeros((f * b, 8, slots), np.uint8)
     maps = []
     for i, lev in enumerate(levs):
         a = i * b
@@ -176,7 +184,7 @@ def decode_level(params, cfg: ModelConfig, level: CodecLevel, stage_streams):
         decs = binary_decode_batch(
             probs, [stage_streams[i][stage] for i in range(f)]
         )
-        col = np.zeros((level.nbr27.shape[0], SB_SLOTS), np.uint8)
+        col = np.zeros((level.nbr27.shape[0], level.code.shape[-1]), np.uint8)
         for i, (vb, vs, n) in enumerate(level.voxel_maps):
             out[i][:, stage] = decs[i]
             col[vb, vs] = decs[i]

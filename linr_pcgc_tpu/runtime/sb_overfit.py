@@ -46,9 +46,14 @@ class SbGopBatch:
         return self.nbr27.shape[0]
 
 
-def assemble_gop_superbricks(pyramids: list[FramePyramid]) -> SbGopBatch:
+def assemble_gop_superbricks(
+    pyramids: list[FramePyramid], side: int = 4
+) -> SbGopBatch:
+    """``side`` = 4 (default, the fast path: the halo IS the conv operand)
+    or 8 (coarser gather granularity; kept for comparison/testing)."""
     s_num = pyramids[0].scale_num
     assert all(p.scale_num == s_num for p in pyramids)
+    slots = side**3
 
     bl = [
         [
@@ -57,6 +62,7 @@ def assemble_gop_superbricks(pyramids: list[FramePyramid]) -> SbGopBatch:
                 p.levels[s].occ[: p.levels[s].n],
                 p.levels[s].feat_code[: p.levels[s].n],
                 s,
+                side=side,
             )
             for s in range(s_num)
         ]
@@ -75,8 +81,8 @@ def assemble_gop_superbricks(pyramids: list[FramePyramid]) -> SbGopBatch:
     f_nbr, f_code, f_occ = [], [], []
     for f in range(len(pyramids)):
         nbr = np.full((total, 27), -1, np.int32)
-        code = np.full((total, SB_SLOTS), -1, np.int32)
-        occ = np.zeros((total, 8, SB_SLOTS), np.uint8)
+        code = np.full((total, slots), -1, np.int32)
+        occ = np.zeros((total, 8, slots), np.uint8)
         for s in range(s_num):
             lev = bl[f][s]
             a = int(offsets[s])
@@ -150,7 +156,8 @@ def level_groups(level_slices, max_group_bricks: int | None = None):
 def make_epoch_fn_sb(cfg: ModelConfig, tc: TrainConfig, level_slices,
                      compute_dtype=jnp.bfloat16,
                      max_group_bricks: int | None = None,
-                     stage_chunk: int | None = None):
+                     stage_chunk: int | None = None,
+                     slots: int = 64):
     """Same contract as brick_overfit.make_epoch_fn_bricks.
 
     Memory discipline, two layers:
@@ -173,30 +180,84 @@ def make_epoch_fn_sb(cfg: ModelConfig, tc: TrainConfig, level_slices,
         Adam/StepLR semantics are unchanged.
     """
     policy = jax.checkpoint_policies.save_only_these_names(ACT)
-    groups = level_groups(level_slices, max_group_bricks)
     total = level_slices[-1][1]
+    small = total * slots <= 4096 * 512  # tiny (test) batches: one unit
+    if max_group_bricks is None and small:
+        max_group_bricks = total
+    groups = level_groups(level_slices, max_group_bricks)
     if stage_chunk is None:
-        # production: 3-stage chunks measured to peak ~14 GB at level-0
-        # sizes of ~20k bricks (4-stage chunks hit 18.3 GB > 15.75)
-        stage_chunk = cfg.outstage if total <= 4096 else 3
+        # production peaks (800k-pt frames): 4^3 @ 4-stage chunks ~9 GB;
+        # 8^3 @ 3-stage chunks ~14 GB (4-stage hit 18.3 GB > 15.75)
+        stage_chunk = (
+            cfg.outstage if small else (4 if slots == 64 else 2)
+        )
+    assert cfg.outstage % stage_chunk == 0, (cfg.outstage, stage_chunk)
+    n_chunks = cfg.outstage // stage_chunk
 
-    def make_unit_fn(sub_slices, sa, sb_):
-        def bits_fn(p, sub):
+    from ..models.sb_network import sb_chunk_bits, sb_x_glob
+
+    def make_group_fn(sub_slices):
+        """(params, sub) -> (bits, grads) for one level group.
+
+        Structure: x_glob (input embedding + block_in) is computed ONCE
+        via jax.vjp; the stage chunks run as a lax.scan over a TRACED
+        chunk base — one compiled chunk graph serves every position, the
+        scan serializes them (peak HBM = one chunk), and value_and_grad
+        inside the body makes the scan forward-only (no stacked
+        residuals).  The accumulated d(x_glob) is folded back through the
+        block_in VJP at the end.  Exact: the loss is a sum over stages.
+        """
+
+        def geom_of(sub):
             mask = (sub["code"] >= 0).astype(compute_dtype)[:, None, None, :]
-            geom = dict(
+            return dict(
                 nbr27=sub["nbr27"], mask=mask, code=sub["code"],
                 dtype=compute_dtype,
             )
-            return sb_training_bits(
-                p, cfg, geom, sub["occ"], sub_slices, (sa, sb_)
+
+        xg_fwd = jax.checkpoint(
+            lambda p, sub: sb_x_glob(p, cfg, geom_of(sub), sub_slices),
+            policy=policy,
+        )
+
+        def chunk_fn(p, xg, sub, base):
+            return sb_chunk_bits(
+                p, cfg, geom_of(sub), sub["occ"], base, stage_chunk, xg
             )
 
-        return jax.checkpoint(bits_fn, policy=policy)
+        chunk_vg = jax.value_and_grad(
+            jax.checkpoint(chunk_fn, policy=policy), argnums=(0, 1)
+        )
+
+        def fn(params, sub):
+            x_glob, bi_vjp = jax.vjp(lambda p: xg_fwd(p, sub), params)
+
+            def body(carry, base):
+                bits_a, gp_a, gx_a = carry
+                bits, (gp, gx) = chunk_vg(params, x_glob, sub, base)
+                return (
+                    bits_a + bits,
+                    jax.tree_util.tree_map(jnp.add, gp_a, gp),
+                    gx_a + gx,
+                ), None
+
+            init = (
+                jnp.zeros((), F32),
+                jax.tree_util.tree_map(jnp.zeros_like, params),
+                jnp.zeros_like(x_glob),
+            )
+            (bits, gp, gx), _ = jax.lax.scan(
+                body, init,
+                jnp.arange(n_chunks, dtype=jnp.int32) * stage_chunk,
+            )
+            grads = jax.tree_util.tree_map(jnp.add, gp, bi_vjp(gx)[0])
+            return bits, grads
+
+        return fn
 
     group_fns = [
-        (ga, gb, make_unit_fn(sub_slices, sa, min(sa + stage_chunk, cfg.outstage)))
+        (ga, gb, make_group_fn(sub_slices))
         for (ga, gb, sub_slices) in groups
-        for sa in range(0, cfg.outstage, stage_chunk)
     ]
 
     @jax.jit
@@ -213,7 +274,7 @@ def make_epoch_fn_sb(cfg: ModelConfig, tc: TrainConfig, level_slices,
                 code=fd["code"][ga:gb],
                 occ=fd["occ"][ga:gb],
             )
-            bits, g = jax.value_and_grad(fn)(p_in, sub)
+            bits, g = fn(p_in, sub)
             grads = jax.tree_util.tree_map(jnp.add, grads, g)
             bits_total = bits_total + bits
             # serialize: the next group's forward reads p_in, which now
