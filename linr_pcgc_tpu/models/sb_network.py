@@ -331,16 +331,19 @@ def sb_x_glob(params, cfg: ModelConfig, geom, level_slices):
     return _sb_block(intensor, geom, _stack1(params["block_in"]))
 
 
-def sb_chunk_bits(params, cfg: ModelConfig, geom, occ_t, base, cs: int,
-                  x_glob):
-    """Masked sum-BCE bits of the ``cs`` stages starting at traced index
-    ``base``, given a precomputed ``x_glob``.
+def sb_chunk_logits(params, cfg: ModelConfig, geom, occ_t, base, cs: int,
+                    x_glob):
+    """Logits (Bb, cs, slots) for the ``cs`` stages starting at traced
+    index ``base``, given a precomputed ``x_glob``.
 
     Uniform shapes for every chunk (so ONE compiled graph serves all
     chunk positions): stage j's context block is indexed clip(j-1, 0) and
     its output is multiplied by [j > 0] — stage 0 wastes one context
     evaluation (~1/8 of context work) to avoid a shape-changing branch,
-    exactly the trick of network.stage_context_traced.
+    exactly the trick of network.stage_context_traced.  The occupancy
+    masking (channel c visible iff c < stage) keeps encoder ground truth
+    and decoder partial buffers bit-identical — this is also the codec's
+    per-stage executable.
     """
     dt = geom["dtype"]
     k = cfg.outstage - 1
@@ -370,8 +373,17 @@ def sb_chunk_bits(params, cfg: ModelConfig, geom, occ_t, base, cs: int,
         geom,
         {"w": tr(params["inner_mlp"]["l0"]["w"]), "b": tr(params["inner_mlp"]["l0"]["b"])},
         {"w": tr(params["inner_mlp"]["l1"]["w"]), "b": tr(params["inner_mlp"]["l1"]["b"])},
-    )[:, :, 0, :].astype(F32)
+    )[:, :, 0, :]
+    return logits
 
+
+def sb_chunk_bits(params, cfg: ModelConfig, geom, occ_t, base, cs: int,
+                  x_glob):
+    """Masked sum-BCE bits of the ``cs`` stages starting at traced index
+    ``base`` (see sb_chunk_logits)."""
+    logits = sb_chunk_logits(
+        params, cfg, geom, occ_t, base, cs, x_glob
+    ).astype(F32)
     occ = jax.lax.dynamic_slice_in_dim(occ_t, base, cs, axis=1).astype(F32)
     bce = (
         jnp.maximum(logits, 0.0)

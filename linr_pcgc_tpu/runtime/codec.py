@@ -169,21 +169,29 @@ def encode_gop_streams(params, cfg: ModelConfig, pyramids: list[FramePyramid]):
 
 
 def encode_gop_streams_sb(params, cfg: ModelConfig, pyramids):
-    """Superbrick encode: per level, ONE device call predicts all stages
-    for every frame; the host AC codes all streams in one batch."""
-    from .sb_codec import build_codec_level, encode_level_probs
+    """Brick-layout encode: per level, one x_glob call + 8 per-stage
+    device calls (the decoder's exact executables) cover a sub-batch of
+    frames; the host AC codes all streams in one batch."""
+    from .sb_codec import build_codec_level, encode_level_probs, _frame_chunks
 
     f = len(pyramids)
     s_num = pyramids[0].scale_num
     blobs = [[None] * s_num for _ in range(f)]
     total_bits = 0
     for s in range(s_num):
-        level = build_codec_level(
-            [p.levels[s].coords[: p.levels[s].n] for p in pyramids],
-            s,
-            [p.levels[s].occ[: p.levels[s].n] for p in pyramids],
-        )
-        probs, bits = encode_level_probs(params, cfg, level)
+        probs = [[None] * f for _ in range(cfg.outstage)]
+        bits = [[None] * f for _ in range(cfg.outstage)]
+        for chunk in _frame_chunks(f):
+            level = build_codec_level(
+                [pyramids[i].levels[s].coords[: pyramids[i].levels[s].n] for i in chunk],
+                s,
+                [pyramids[i].levels[s].occ[: pyramids[i].levels[s].n] for i in chunk],
+            )
+            c_probs, c_bits = encode_level_probs(params, cfg, level)
+            for stage in range(cfg.outstage):
+                for j, i in enumerate(chunk):
+                    probs[stage][i] = c_probs[stage][j]
+                    bits[stage][i] = c_bits[stage][j]
         flat_probs = [p for stage in probs for p in stage]
         flat_bits = [b for stage in bits for b in stage]
         streams = binary_encode_batch(flat_probs, flat_bits)
@@ -257,18 +265,28 @@ def decode_gop_streams(
 
 
 def decode_gop_streams_sb(params, cfg: ModelConfig, frame_blobs, lows):
-    """Superbrick decode: geometry rebuilt host-side per level from the
-    coordinates decoded so far; 8 stage-synchronous device calls per level
-    (all frames at once)."""
-    from .sb_codec import build_codec_level, decode_level, np_octree_up
+    """Brick-layout decode: geometry rebuilt host-side per level from the
+    coordinates decoded so far; 8 stage-synchronous device calls per
+    (level, frame sub-batch) — the same deterministic sub-batching as the
+    encoder, so both sides run identical executables."""
+    from .sb_codec import (
+        build_codec_level,
+        decode_level,
+        np_octree_up,
+        _frame_chunks,
+    )
 
     f = len(lows)
     s_num = len(frame_blobs[0])
     cur = [np.ascontiguousarray(low, np.int32) for low in lows]
     for s in range(s_num - 1, -1, -1):
-        level = build_codec_level(cur, s)
-        streams = [unpack_bitstream(frame_blobs[i][s]) for i in range(f)]
-        occs = decode_level(params, cfg, level, streams)
+        occs = [None] * f
+        for chunk in _frame_chunks(f):
+            level = build_codec_level([cur[i] for i in chunk], s)
+            streams = [unpack_bitstream(frame_blobs[i][s]) for i in chunk]
+            c_occs = decode_level(params, cfg, level, streams)
+            for j, i in enumerate(chunk):
+                occs[i] = c_occs[j]
         cur = [np_octree_up(cur[i], occs[i]) for i in range(f)]
     return cur
 

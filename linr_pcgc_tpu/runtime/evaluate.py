@@ -39,20 +39,26 @@ def _gop_probs_and_bits(params, cfg: ModelConfig, pyramids):
     from .codec import _use_sb
 
     if _use_sb(cfg):
-        from .sb_codec import build_codec_level, encode_level_probs
+        from .sb_codec import build_codec_level, encode_level_probs, _frame_chunks
 
         f = len(pyramids)
         per_frame = [[] for _ in range(f)]
         for s in range(pyramids[0].scale_num):
-            level = build_codec_level(
-                [p.levels[s].coords[: p.levels[s].n] for p in pyramids],
-                s,
-                [p.levels[s].occ[: p.levels[s].n] for p in pyramids],
-            )
-            probs, bits = encode_level_probs(params, cfg, level)
-            for stage in range(cfg.outstage):
-                for i in range(f):
-                    per_frame[i].append((s, stage, probs[stage][i], bits[stage][i]))
+            # identical frame sub-batching to the production encoder —
+            # the real decode reads these streams, so the executables
+            # (and their f32 bits) must match exactly
+            for chunk in _frame_chunks(f):
+                level = build_codec_level(
+                    [pyramids[i].levels[s].coords[: pyramids[i].levels[s].n] for i in chunk],
+                    s,
+                    [pyramids[i].levels[s].occ[: pyramids[i].levels[s].n] for i in chunk],
+                )
+                probs, bits = encode_level_probs(params, cfg, level)
+                for stage in range(cfg.outstage):
+                    for j, i in enumerate(chunk):
+                        per_frame[i].append(
+                            (s, stage, probs[stage][j], bits[stage][j])
+                        )
         return per_frame
 
     from .codec import _pad_level_coords, _prep_levels, _context_batched, _stage_probs_batched

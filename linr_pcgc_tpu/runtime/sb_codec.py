@@ -40,7 +40,6 @@ import jax
 import jax.numpy as jnp
 
 from ..models import ModelConfig
-from ..models.sb_network import sb_forward_all_stages
 from ..ops.octree import np_feat_code, np_octree_up
 from ..ops.superbricks import SB_SLOTS, build_superbrick_level
 from .sb_overfit import _sb_bucket
@@ -112,48 +111,125 @@ def build_codec_level(
 
 
 @partial(jax.jit, static_argnames=("cfg", "slices"))
-def sb_codec_probs(params, cfg: ModelConfig, code, nbr27, occ, slices):
-    """All-stage occupancy probabilities, (F*B, 8, 512) f32.
-
-    The ONE executable both codec sides run per level (decoder: once per
-    stage with its growing ``occ`` buffer).  f32 activations with HIGHEST
-    matmul precision — probability bits are part of the format.
-    """
+def sb_codec_ctx(params, cfg: ModelConfig, code, nbr27, slices):
+    """Per-level stage-independent context (x_glob), f32.  Computed once
+    per level on both codec sides."""
     mask = (code >= 0).astype(F32)[:, None, None, :]
     geom = dict(nbr27=nbr27, mask=mask, code=code, dtype=F32)
-    logits = sb_forward_all_stages(
-        params, cfg, geom, occ.astype(F32), slices
-    )
-    return jax.nn.sigmoid(logits.astype(F32))
+    from ..models.sb_network import sb_x_glob
+
+    return sb_x_glob(params, cfg, geom, slices)
+
+
+def _unpack_bits(packed):
+    """(..., n/8) uint8 -> (..., n) {0,1} (numpy packbits 'big' order)."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[..., :, None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(*packed.shape[:-1], packed.shape[-1] * 8)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def sb_codec_stage_probs(params, cfg: ModelConfig, code, nbr27, occ_packed,
+                         x_glob, stage, vox_idx):
+    """ONE stage's occupancy probabilities at the VOXELS, (Nv,) f16.
+
+    The per-stage executable both codec sides run (traced stage index:
+    one compiled graph per level bucket serves all 8 stages).  Running
+    one stage at a time bounds HBM (an all-stage f32 batch at production
+    level-0 sizes needs an 18 GB halo); f32 HIGHEST matmuls inside.
+
+    Wire-format discipline (host<->device traffic is the production PCIe
+    cost, and through this environment's tunnel it utterly dominated —
+    measured 10 s/stage moving padded f32 brick-slot arrays):
+      * occupancy crosses packed 8 bits/byte (``occ_packed``, unpacked
+        in-jit);
+      * probabilities come back per VOXEL (``vox_idx`` = brick*slots +
+        slot, pad-tailed) — not per slot (~8x smaller);
+      * as f16: both sides round identically, so encoder/decoder stay
+        bit-exact, and the arithmetic coder re-quantizes CDFs to 16-bit
+        staircases anyway (the rate impact of f16 probabilities is below
+        the staircase resolution).
+    """
+    from ..models.sb_network import sb_chunk_logits
+
+    mask = (code >= 0).astype(F32)[:, None, None, :]
+    geom = dict(nbr27=nbr27, mask=mask, code=code, dtype=F32)
+    occ = _unpack_bits(occ_packed).astype(F32)
+    logits = sb_chunk_logits(params, cfg, geom, occ, stage, 1, x_glob)
+    pr = jax.nn.sigmoid(logits.astype(F32))[:, 0, :].reshape(-1)
+    return jnp.take(pr, vox_idx).astype(jnp.float16)
 
 
 @partial(jax.jit, donate_argnums=(0,))
-def occ_set_stage(occ, col, stage):
-    """Decoder buffer update: write the newly decoded stage column."""
-    return occ.at[:, stage, :].set(col)
+def occ_set_stage(occ_packed, col_packed, stage):
+    """Decoder buffer update: write the newly decoded stage's packed
+    column."""
+    return occ_packed.at[:, stage, :].set(col_packed)
 
 
 # --------------------------------------------------------- level codecs ----
 
+# Frames per device call: levels are coded for all frames of a GOP
+# stage-synchronously, but a 32-frame production GOP at level-0 sizes
+# exceeds HBM in one array — frames are sub-batched; the grouping is a
+# deterministic function of the frame count, so encoder and decoder take
+# identical executable paths.
+CODEC_FRAME_CHUNK = 8
+
+
+def _frame_chunks(f: int):
+    return [
+        list(range(a, min(a + CODEC_FRAME_CHUNK, f)))
+        for a in range(0, f, CODEC_FRAME_CHUNK)
+    ]
+
+
+def _vox_idx_bucketed(level: CodecLevel):
+    """Concatenated per-voxel flat slot indices, pad-tailed to a bucket
+    (decoder derives the same counts -> same shapes)."""
+    from ..data.dataset import bucket_size
+
+    slots = level.code.shape[-1]
+    idx = np.concatenate(
+        [vb * slots + vs for (vb, vs, n) in level.voxel_maps]
+    ).astype(np.int32)
+    b = bucket_size(len(idx))
+    out = np.zeros(b, np.int32)
+    out[: len(idx)] = idx
+    return jnp.asarray(out), [n for (_, _, n) in level.voxel_maps]
+
+
+def _split_probs(pr_f16: np.ndarray, counts):
+    """Trim the pad tail and split per frame; f16 -> f32 host-side (exact,
+    both codec sides identically)."""
+    out, pos = [], 0
+    for n in counts:
+        out.append(pr_f16[pos: pos + n].astype(np.float32))
+        pos += n
+    return out
+
 
 def encode_level_probs(params, cfg: ModelConfig, level: CodecLevel):
-    """Per-(stage, frame) probability/bit arrays for one level, from ONE
-    device call.  Returns (probs[stage][frame], bits[stage][frame])."""
-    pr = np.asarray(
-        sb_codec_probs(
-            params, cfg,
-            jnp.asarray(level.code), jnp.asarray(level.nbr27),
-            jnp.asarray(level.occ), level.slices,
-        )
-    )
-    probs, bits = [], []
+    """Per-(stage, frame) probability/bit arrays for one level: one
+    x_glob call + 8 per-stage calls (the decoder's exact executables).
+    Returns (probs[stage][frame], bits[stage][frame])."""
+    code = jnp.asarray(level.code)
+    nbr = jnp.asarray(level.nbr27)
+    occ_packed = jnp.asarray(np.packbits(level.occ, axis=-1))
+    vox_idx, counts = _vox_idx_bucketed(level)
+    xg = sb_codec_ctx(params, cfg, code, nbr, level.slices)
+    probs = [[] for _ in range(cfg.outstage)]
+    bits = [[] for _ in range(cfg.outstage)]
     for stage in range(cfg.outstage):
-        p_s, b_s = [], []
+        pr = np.asarray(
+            sb_codec_stage_probs(
+                params, cfg, code, nbr, occ_packed, xg, jnp.int32(stage),
+                vox_idx,
+            )
+        )
+        probs[stage] = _split_probs(pr, counts)
         for (vb, vs, n) in level.voxel_maps:
-            p_s.append(pr[vb, stage, vs])
-            b_s.append(level.occ[vb, stage, vs].astype(np.float32))
-        probs.append(p_s)
-        bits.append(b_s)
+            bits[stage].append(level.occ[vb, stage, vs].astype(np.float32))
     return probs, bits
 
 
@@ -166,31 +242,35 @@ def decode_level(params, cfg: ModelConfig, level: CodecLevel, stage_streams):
     from ..coding import binary_decode_batch
 
     f = len(level.voxel_maps)
-    occ_dev = jnp.asarray(level.occ)  # zeros
+    slots = level.code.shape[-1]
+    occ_dev = jnp.asarray(np.packbits(level.occ, axis=-1))  # zeros
     code_dev = jnp.asarray(level.code)
     nbr_dev = jnp.asarray(level.nbr27)
+    vox_idx, counts = _vox_idx_bucketed(level)
+    xg = sb_codec_ctx(params, cfg, code_dev, nbr_dev, level.slices)
     out = [
         np.zeros((n, 8), np.uint8) for (_, _, n) in level.voxel_maps
     ]
     for stage in range(cfg.outstage):
         pr = np.asarray(
-            sb_codec_probs(
-                params, cfg, code_dev, nbr_dev, occ_dev, level.slices
+            sb_codec_stage_probs(
+                params, cfg, code_dev, nbr_dev, occ_dev, xg,
+                jnp.int32(stage), vox_idx,
             )
         )
-        probs = [
-            pr[vb, stage, vs] for (vb, vs, n) in level.voxel_maps
-        ]
+        probs = _split_probs(pr, counts)
         decs = binary_decode_batch(
             probs, [stage_streams[i][stage] for i in range(f)]
         )
-        col = np.zeros((level.nbr27.shape[0], level.code.shape[-1]), np.uint8)
+        col = np.zeros((level.nbr27.shape[0], slots), np.uint8)
         for i, (vb, vs, n) in enumerate(level.voxel_maps):
             out[i][:, stage] = decs[i]
             col[vb, vs] = decs[i]
         if stage < cfg.outstage - 1:
             # channels >= stage+1 stay zero; the executable masks them
             occ_dev = occ_set_stage(
-                occ_dev, jnp.asarray(col), jnp.int32(stage)
+                occ_dev,
+                jnp.asarray(np.packbits(col, axis=-1)),
+                jnp.int32(stage),
             )
     return out
