@@ -399,7 +399,15 @@ def encode_gop(
     comp = compress_params(flat, bitdepth)
     with open(os.path.join(bins_dir, "model.bin"), "wb") as f:
         f.write(comp["final_bytes"])
-    side_info = dict(comp["side_info"], model_cfg=cfg_side_info(cfg))
+    side_info = dict(
+        comp["side_info"],
+        model_cfg=cfg_side_info(cfg),
+        # integrity: streams are only decodable with the GOP grouping
+        # they were encoded with (shapes/probabilities are GOP-derived);
+        # a grouping mismatch must fail loudly, not corrupt silently
+        # (costed at 32 bits/frame below)
+        frame_points=[int(p.point_num) for p in pyramids],
+    )
     with open(os.path.join(result_dir, "side_info.json"), "w") as f:
         json.dump(side_info, f, indent=4)
 
@@ -417,7 +425,7 @@ def encode_gop(
                 f.write(blob)
     return {
         "point_bits": total_bits,
-        "model_bits": comp["bit_real"] + CFG_SIDE_BITS,
+        "model_bits": comp["bit_real"] + CFG_SIDE_BITS + 32 * len(pyramids),
         "low_bits": len(low_bytes) * 8,
         "points": sum(p.point_num for p in pyramids),
         "enc_mode": comp["enc_mode"],
@@ -479,6 +487,15 @@ def decode_gop(
         os.makedirs(dec_dir, exist_ok=True)
 
     coords_list = decode_gop_streams(params, cfg, frame_blobs, lows)
+    expect = side_info.get("frame_points")
+    if expect is not None:
+        got = [len(c) for c in coords_list]
+        if got != list(expect):
+            raise ValueError(
+                "decoded point counts do not match the encoder's "
+                f"(expected {expect}, got {got}) — the bitstream was "
+                "decoded with a different GOP grouping or is corrupt"
+            )
     decoded = []
     for idx, coords in enumerate(coords_list):
         final = coords + mins[idx]

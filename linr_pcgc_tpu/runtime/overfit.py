@@ -315,6 +315,7 @@ def overfit_gop(
     backend: str = "auto",
     devices: int = 1,
     train_dtype: str = "bf16",
+    mid_test_early: bool = True,
     logger=None,
 ) -> str:
     """Overfit one GOP; mirrors reference ``overfit_one_gop``
@@ -434,7 +435,11 @@ def overfit_gop(
             "train_time_avg": train_time / gop_size,
         }
 
-        if mid_test and (epoch < 10 or epoch % check_freq == 0):
+        # the reference mid-tests every epoch below 10 (main.py:341);
+        # mid_test_early=False drops that band for long measurement runs
+        if mid_test and (
+            (mid_test_early and epoch < 10) or epoch % check_freq == 0
+        ):
             save_checkpoint(
                 model_path, params, opt, float(lr_arr), epoch, best_loss, bitdepth
             )

@@ -53,6 +53,7 @@ def run_one(args, dtype: str, workdir: str):
         check_freq=args.check_freq,
         handle_dir=os.path.join(workdir, "handle"),
         train_dtype=dtype,
+        mid_test_early=False,  # rate points every check_freq only
     )
     wall = time.time() - t0
     gop_name = f"gop_0_{args.frames - 1}"

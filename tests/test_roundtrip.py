@@ -288,6 +288,34 @@ def test_standalone_decode_from_bins_alone(tmp_path):
     )
 
 
+def test_grouping_mismatch_fails_loudly(tmp_path):
+    """Streams are only decodable with the GOP grouping they were encoded
+    with; a mismatch must raise, not silently corrupt (the decoder checks
+    decoded point counts against the encoder's side info)."""
+    import json
+
+    ds, frames = small_dataset(2, n_pts=1200)
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    params = init_params(jax.random.PRNGKey(6), cfg)
+    from linr_pcgc_tpu.runtime.overfit import adam_init as _ai, save_checkpoint
+
+    model_path = str(tmp_path / "model.npz")
+    save_checkpoint(model_path, params, _ai(params), 0.01, 0, 1.0, 8)
+    enc_dir = str(tmp_path / "enc" / "gop_0_1")
+    encode_gop(model_path, [ds[0], ds[1]], enc_dir, cfg)
+
+    side_path = os.path.join(enc_dir, "side_info.json")
+    with open(side_path) as f:
+        side = json.load(f)
+    assert side["frame_points"] == [ds[0].point_num, ds[1].point_num]
+    side["frame_points"] = [side["frame_points"][0] + 7,
+                            side["frame_points"][1]]
+    with open(side_path, "w") as f:
+        json.dump(side, f)
+    with pytest.raises(ValueError, match="grouping"):
+        decode_gop(enc_dir, None, cfg=None)
+
+
 def test_overfit_resume(tmp_path):
     """Interrupted GOP training continues from its own checkpoint."""
     from linr_pcgc_tpu.runtime import overfit_gop
