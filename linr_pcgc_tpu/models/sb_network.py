@@ -85,6 +85,11 @@ def b4conv3(x, geom, w, b):
     bb, s, c, _ = x.shape
     o = w.shape[-1]
     xm = x.astype(dt).reshape(bb, s * c, B4_SLOTS)
+    # NOTE on the barrier shape: keep it 3-D.  A 2-D (Bb*SC, 216) view
+    # here made XLA re-express the halo assembly as a 54-piece 2-D concat
+    # and keep MULTIPLE conv halos alive at once (measured 43 GB).  The
+    # 3-D form occasionally costs a padded copy under f32 (layout
+    # {1,0,2}), but is the proven-stable bf16 production path.
     h = jax.lax.optimization_barrier(b4_halo(xm, geom["nbr27"]))
     ext = h.reshape(bb, s, c * B4_HALO_VOL)
     w2 = b4_conv_weight_matrix(w).astype(dt)  # (S, C*216, O*64)

@@ -186,11 +186,16 @@ def make_epoch_fn_sb(cfg: ModelConfig, tc: TrainConfig, level_slices,
         max_group_bricks = total
     groups = level_groups(level_slices, max_group_bricks)
     if stage_chunk is None:
-        # production peaks (800k-pt frames): 4^3 @ 4-stage chunks ~9 GB;
-        # 8^3 @ 3-stage chunks ~14 GB (4-stage hit 18.3 GB > 15.75)
-        stage_chunk = (
-            cfg.outstage if small else (4 if slots == 64 else 2)
-        )
+        # production peaks (800k-pt frames): 4^3 @ 4-stage chunks ~9 GB
+        # bf16; f32 compute doubles every activation/halo (4-chunk f32
+        # measured 22.6 GB > 15.75) -> halve the chunk
+        bf16 = compute_dtype == jnp.bfloat16
+        if small:
+            stage_chunk = cfg.outstage
+        elif slots == 64:
+            stage_chunk = 4 if bf16 else 2
+        else:
+            stage_chunk = 2
     assert cfg.outstage % stage_chunk == 0, (cfg.outstage, stage_chunk)
     n_chunks = cfg.outstage // stage_chunk
 
