@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mlp_out_channel", type=int, default=10)
     p.add_argument("--hidden_channel_conv", type=int, default=8)
     p.add_argument("--block_layers", type=int, default=1)
+    p.add_argument("--block_type", type=str, default="inception",
+                   choices=["inception", "resnet", "dilation"],
+                   help="residual core inside blocks (resnet.py:146-162); "
+                        "'dilation' is rejected loudly")
     p.add_argument("--model_bitdepth", type=int, default=8)
     p.add_argument("--overfit", type=str, default="False")
     p.add_argument("--mid_test", type=str, default="False")
@@ -145,6 +149,7 @@ def run(args, logger=None) -> None:
         hidden_channel_conv=args.hidden_channel_conv,
         hidden_channel_mlp=args.hidden_channel_mlp,
         block_layers=args.block_layers,
+        block_type=args.block_type,
     )
     tc = TrainConfig(
         learning_rate=args.learning_rate,

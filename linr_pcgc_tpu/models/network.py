@@ -79,6 +79,17 @@ class ModelConfig:
     def __post_init__(self):
         if self.block_layers < 1:
             raise ValueError(f"block_layers must be >= 1, got {self.block_layers}")
+        if self.outstage != 8:
+            # The reference supports outstage groupings {8,4,3,2,1}
+            # (upsample.py:24-35 get_stage_lst: multi-bit stages with
+            # grouped occupancy context).  Only the 8x1-bit default is
+            # implemented here; anything else must fail loudly rather
+            # than silently train a different network.
+            raise NotImplementedError(
+                f"outstage={self.outstage}: only the default outstage=8 "
+                "(one octant bit per stage, reference get_stage_lst, "
+                "upsample.py:24-35) is implemented"
+            )
         if self.block_type == "dilation":
             raise NotImplementedError(
                 "block_type='dilation' (DilatedResNet, reference "

@@ -22,8 +22,9 @@ the measured bottleneck (gather row-rate, ~50M rows/s on v5e):
      per-stage ragged weights reuse network.stack_outer_blocks'
      zero-padded stacking (mathematically exact).
 
-Activations are (Bb, S, C, 512): brick-major, static stage batch S,
-channels, dense superbrick slots on the lanes.  Unoccupied slots are
+Activations are (Bb, S, C, slots): brick-major, static stage batch S,
+channels, dense brick slots on the lanes (slots = 64 for the default
+side=4 bricks, 512 for side=8 — the code reads code.shape[-1]).  Unoccupied slots are
 kept exactly zero after every conv (+bias, masked), which makes the
 dense convolution equal to the reference's submanifold convolution.
 
@@ -150,7 +151,7 @@ def sbconv3(x, geom, w, b):
 
 
 def sbconv1(x, geom, w, b):
-    """Stage-batched 1^3 conv: x (Bb, S, C, 512), w (S, C, O), b (S, O)."""
+    """Stage-batched 1^3 conv: x (Bb, S, C, slots), w (S, C, O), b (S, O)."""
     dt = geom["dtype"]
     y = jnp.einsum(
         "bscv,sco->bsov", x.astype(dt), w.astype(dt),
@@ -227,9 +228,9 @@ def sb_input_features(params, cfg: ModelConfig, geom, level_slices):
     (start, end, scale_idx) — the scale index is carried explicitly so a
     level *group* (a contiguous sub-range of levels, see
     runtime/sb_overfit's grouped gradient accumulation) can be processed
-    with correct per-scale parameters.  Returns (Bb, 1, ch, 512)."""
+    with correct per-scale parameters.  Returns (Bb, 1, ch, slots)."""
     dt = geom["dtype"]
-    code = geom["code"]  # (Bb, 512) int32, scale*128+feat, -1 empty
+    code = geom["code"]  # (Bb, slots) int32, scale*128+feat, -1 empty
     feat = code & 127
     bits = jnp.stack(
         [((feat >> k) & 1).astype(dt) for k in range(cfg.in_channel)], axis=1
@@ -261,8 +262,8 @@ def sb_input_features(params, cfg: ModelConfig, geom, level_slices):
 
 def sb_forward_all_stages(params, cfg: ModelConfig, geom, occ_t, level_slices,
                           stage_range=None):
-    """Logits (Bb, Sc, 512) for stages [a, b) (default: all 8).
-    occ_t: (Bb, 8, 512) ground truth in the compute dtype.
+    """Logits (Bb, Sc, slots) for stages [a, b) (default: all 8).
+    occ_t: (Bb, 8, slots) ground truth in the compute dtype.
 
     Stages in the range run as one batched pass: stage j's context block
     sees occupancy channels 0..j-1 (channel c masked by c < j — the same

@@ -77,6 +77,8 @@ def np_octree_down(coords: np.ndarray):
     way), so parents are key-sorted before the adjacent dedup — same as
     the device octree_down.
     """
+    if len(coords) == 0:
+        return np.zeros((0, 3), np.int32), np.zeros((0, 8), np.uint8)
     c = coords.astype(np.int64)
     parent = coords >> 1
     pkey = np_coord_key(parent)

@@ -361,16 +361,27 @@ _CFG_FIELDS = (
     "outstage",
     "kernel_size",
 )
-CFG_SIDE_BITS = 8 * len(_CFG_FIELDS)
+# block_type is a string on ModelConfig; it crosses the side info as a
+# small enum int (a resnet-core model must NOT reconstruct as inception:
+# the parameter counts differ and standalone decode would mis-assign
+# every weight).
+_BLOCK_TYPES = ("inception", "resnet", "dilation")
+CFG_SIDE_BITS = 8 * (len(_CFG_FIELDS) + 1)
 
 
 def cfg_side_info(cfg: ModelConfig) -> dict:
-    return {k: int(getattr(cfg, k)) for k in _CFG_FIELDS}
+    info = {k: int(getattr(cfg, k)) for k in _CFG_FIELDS}
+    info["block_type"] = _BLOCK_TYPES.index(cfg.block_type)
+    return info
 
 
 def cfg_from_side_info(side_info: dict) -> ModelConfig:
     info = side_info["model_cfg"]
-    return ModelConfig(**{k: int(info[k]) for k in _CFG_FIELDS})
+    kw = {k: int(info[k]) for k in _CFG_FIELDS}
+    # block_type entered the side info after round 2; default to the only
+    # value older bitstreams could have carried
+    kw["block_type"] = _BLOCK_TYPES[int(info.get("block_type", 0))]
+    return ModelConfig(**kw)
 
 
 def encode_gop(

@@ -357,10 +357,47 @@ def overfit_gop(
     xyzlow_bpp = len(low_bytes) / point_total
 
     if devices > 1:
-        backend = "dp"
+        # multi-chip training multiplies the FAST backend when it applies
+        # (round-2 verdict #1 — devices>1 used to force the slow gather
+        # network).  Default: STAGE-PARALLEL (exact sequential semantics,
+        # parallel/train.make_epoch_fn_sb_sp); frame-DP remains available
+        # explicitly (backend='sb_dp') but trades rate for wall-clock.
+        if cfg.kernel_size == 3 and backend in ("auto", "sb", "sb_sp"):
+            backend = "sb_sp" if cfg.outstage % devices == 0 else "sb_dp"
+        elif backend not in ("sb_dp",):
+            backend = "dp"
     elif backend == "auto":
         backend = "sb" if cfg.kernel_size == 3 else "gather"
-    if backend == "dp":
+    if backend == "sb_sp":
+        # stage-parallel over a 1-D mesh: each chip owns outstage/D
+        # stages of every level group; unit gradients psum over ICI;
+        # one Adam step per frame — the sequential trainer's exact
+        # semantics and schedule (NO step_size conversion)
+        from ..parallel import make_mesh, make_epoch_fn_sb_sp
+        from .sb_overfit import assemble_gop_superbricks
+
+        mesh = make_mesh(devices)
+        batch_s = assemble_gop_superbricks(pyramids)
+        arrays = batch_s
+        epoch_fn = make_epoch_fn_sb_sp(
+            cfg, tc, batch_s.level_slices, mesh,
+            compute_dtype=jnp.bfloat16 if train_dtype == "bf16" else jnp.float32,
+        )
+    elif backend == "sb_dp":
+        # superbrick frame-DP over a 1-D mesh: D frames per optimizer
+        # step on the stage-batched brick trainer, zero-weight padding
+        # when gop_size % D != 0, step_size / D schedule conversion
+        from ..parallel import make_mesh, make_epoch_fn_sb_dp, shard_sb_gop
+        from .sb_overfit import assemble_gop_superbricks
+
+        mesh = make_mesh(devices)
+        batch_s = assemble_gop_superbricks(pyramids)
+        arrays = shard_sb_gop(batch_s, mesh)
+        epoch_fn = make_epoch_fn_sb_dp(
+            cfg, dp_train_config(tc, devices), batch_s.level_slices, mesh,
+            compute_dtype=jnp.bfloat16 if train_dtype == "bf16" else jnp.float32,
+        )
+    elif backend == "dp":
         # frame-data-parallel over a 1-D mesh: D frames per optimizer step,
         # zero-weight padding when gop_size % D != 0, step_size / D
         # schedule conversion (parallel/train.py)

@@ -53,8 +53,8 @@ class CodecLevel:
     the brick axis with a shared per-frame bucket)."""
 
     nbr27: np.ndarray          # (F*B, 27) int32, -1 absent
-    code: np.ndarray           # (F*B, 512) int32 scale*128+feat, -1 empty
-    occ: np.ndarray            # (F*B, 8, 512) uint8 (zeros when unknown)
+    code: np.ndarray           # (F*B, slots) int32 scale*128+feat, -1 empty
+    occ: np.ndarray            # (F*B, 8, slots) uint8 (zeros when unknown)
     voxel_maps: list           # per frame (voxel_brick + f*B, voxel_slot, n)
     bucket: int
     scale_idx: int

@@ -36,8 +36,8 @@ def _sb_bucket(n: int) -> int:
 @dataclasses.dataclass
 class SbGopBatch:
     nbr27: jax.Array     # (F, Bb, 27) int32 flat-global brick map, -1 absent
-    code: jax.Array      # (F, Bb, 512) int32 scale*128+feat, -1 empty
-    occ: jax.Array       # (F, Bb, 8, 512) uint8
+    code: jax.Array      # (F, Bb, slots) int32 scale*128+feat, -1 empty
+    occ: jax.Array       # (F, Bb, 8, slots) uint8  (slots = side**3)
     point_num: jax.Array  # (F,) float32
     level_slices: tuple  # static ((start, end, scale_idx), ...) per scale
 
@@ -153,12 +153,16 @@ def level_groups(level_slices, max_group_bricks: int | None = None):
     ]
 
 
-def make_epoch_fn_sb(cfg: ModelConfig, tc: TrainConfig, level_slices,
-                     compute_dtype=jnp.bfloat16,
-                     max_group_bricks: int | None = None,
-                     stage_chunk: int | None = None,
-                     slots: int = 64):
-    """Same contract as brick_overfit.make_epoch_fn_bricks.
+def make_frame_grads_sb(cfg: ModelConfig, level_slices,
+                        compute_dtype=jnp.bfloat16,
+                        max_group_bricks: int | None = None,
+                        stage_chunk: int | None = None,
+                        slots: int = 64):
+    """(params, fd) -> (loss, grads) for ONE frame on the superbrick
+    layout — the shared gradient core of the sequential trainer
+    (make_epoch_fn_sb) and the frame-data-parallel trainer
+    (parallel/train.make_epoch_fn_sb_dp, which vmaps it over a sharded
+    frame axis).
 
     Memory discipline, two layers:
 
@@ -177,7 +181,6 @@ def make_epoch_fn_sb(cfg: ModelConfig, tc: TrainConfig, level_slices,
         sequentially — peak HBM is one unit's working set (the finest
         level is indivisible along the brick axis since halo exchanges
         cross brick boundaries, but its 8 stages chunk freely).
-        Adam/StepLR semantics are unchanged.
     """
     policy = jax.checkpoint_policies.save_only_these_names(ACT)
     total = level_slices[-1][1]
@@ -265,8 +268,7 @@ def make_epoch_fn_sb(cfg: ModelConfig, tc: TrainConfig, level_slices,
         for (ga, gb, sub_slices) in groups
     ]
 
-    @jax.jit
-    def frame_step(params, opt, lr, k, fd):
+    def frame_grads(params, fd):
         bits_total = jnp.zeros((), F32)
         grads = jax.tree_util.tree_map(jnp.zeros_like, params)
         p_in = params
@@ -291,6 +293,29 @@ def make_epoch_fn_sb(cfg: ModelConfig, tc: TrainConfig, level_slices,
         grads = jax.tree_util.tree_map(
             lambda gi: gi / fd["point_num"], grads
         )
+        return loss, grads
+
+    return frame_grads
+
+
+def make_epoch_fn_sb(cfg: ModelConfig, tc: TrainConfig, level_slices,
+                     compute_dtype=jnp.bfloat16,
+                     max_group_bricks: int | None = None,
+                     stage_chunk: int | None = None,
+                     slots: int = 64):
+    """Sequential superbrick epoch trainer: one jitted per-frame step
+    (gradient + Adam + LR-schedule step), host loop over frames — the
+    contract of brick_overfit.make_epoch_fn_bricks with the gradient core
+    of ``make_frame_grads_sb`` (see there for the memory discipline).
+    Adam/StepLR semantics are the parity trainer's, unchanged."""
+    frame_grads = make_frame_grads_sb(
+        cfg, level_slices, compute_dtype, max_group_bricks, stage_chunk,
+        slots,
+    )
+
+    @jax.jit
+    def frame_step(params, opt, lr, k, fd):
+        loss, grads = frame_grads(params, fd)
         params, opt = adam_frame_update(params, opt, lr, grads, tc)
         k = k + 1
         lr = jnp.where(k % tc.step_size == 0, lr * tc.gamma, lr)

