@@ -58,7 +58,13 @@ def main():
         side = int(os.environ.get("BENCH_SIDE", "4"))
         batch = assemble_gop_superbricks(pyrs, side=side)
         arrays = batch
-        log(f"gop assembled (superbricks) in {time.time()-t0:.1f}s; flat superbricks={batch.nbr27.shape[1]}")
+        jax.block_until_ready(batch.occ)
+        dt = time.time() - t0
+        log(
+            f"gop assembled (superbricks) in {dt:.1f}s "
+            f"({dt / n_frames:.2f} s/frame incl. upload); "
+            f"flat superbricks={batch.nbr27.shape[1]}"
+        )
         sc_env = os.environ.get("BENCH_STAGE_CHUNK")
         epoch_fn = make_epoch_fn_sb(
             cfg, tc, batch.level_slices, slots=side**3,

@@ -59,6 +59,15 @@ def _np_unkey(keys: np.ndarray) -> np.ndarray:
     ).astype(np.int32)
 
 
+def unpack_bits(packed):
+    """(..., n/8) uint8 -> (..., n) {0,1} uint8 (numpy packbits 'big'
+    order).  The occupancy ground truth crosses host->device and sits in
+    HBM bit-packed (8x smaller); consumers unpack in-jit (pure VPU)."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[..., :, None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(*packed.shape[:-1], packed.shape[-1] * 8)
+
+
 @dataclasses.dataclass
 class SuperBrickLevel:
     """One scale's superbrick grid (numpy, trimmed to n_bricks)."""
@@ -105,14 +114,23 @@ def build_superbrick_level(
     occ_b[inv, :, slot] = occ.astype(np.uint8)
 
     brick_coords = _np_unkey(brick_keys)
-    r = np.asarray(_DIRS, np.int64)
-    q = brick_coords[:, None, :].astype(np.int64) + r[None, :, :]
-    valid = np.all(q >= 0, axis=2)
-    qkey = (q[:, :, 0] << 42) | (q[:, :, 1] << 21) | q[:, :, 2]
-    pos = np.searchsorted(brick_keys, qkey)
-    pos_c = np.minimum(pos, bb - 1)
-    hit = (brick_keys[pos_c] == qkey) & valid
-    nbr = np.where(hit, pos_c, -1).astype(np.int32)
+    # Neighbor keys by direct key arithmetic: key(c + d) = key(c) +
+    # (dx<<42 | dy<<21 | dz) — no (Bb, 27, 3) coordinate temp.  A border
+    # underflow (coordinate 0 stepping to -1) borrows into the next
+    # field, producing a key whose coordinate is ~2^21 (or negative for
+    # x): no such brick exists at real coordinate ranges (<= 2^18 bricks
+    # per axis for 20-bit clouds), so the exact-match test below yields
+    # -1, exactly like an explicit bounds check.
+    doff = np.asarray(
+        [(dx << 42) + (dy << 21) + dz for (dx, dy, dz) in _DIRS], np.int64
+    )
+    qkey = brick_keys[:, None] + doff[None, :]
+    # int32 positions + np.take: ~1.5x faster than int64 fancy-index +
+    # np.where on this class of host (measured scripts/prof_assemble.py)
+    pos = np.searchsorted(brick_keys, qkey).astype(np.int32)
+    np.minimum(pos, np.int32(bb - 1), out=pos)
+    hit = np.take(brick_keys, pos) == qkey
+    nbr = np.where(hit, pos, np.int32(-1))
 
     return SuperBrickLevel(
         brick_coords=brick_coords,

@@ -132,8 +132,10 @@ def make_epoch_fn_sb_sp(cfg: ModelConfig, tc: TrainConfig, level_slices,
         )
 
         def chunk_fn(p, xg, sub, base):
+            from ..ops.superbricks import unpack_bits
+
             return sb_chunk_bits(
-                p, cfg, geom_of(sub), sub["occ"], base, cs, xg
+                p, cfg, geom_of(sub), unpack_bits(sub["occ"]), base, cs, xg
             )
 
         chunk_vg = jax.value_and_grad(

@@ -121,11 +121,7 @@ def sb_codec_ctx(params, cfg: ModelConfig, code, nbr27, slices):
     return sb_x_glob(params, cfg, geom, slices)
 
 
-def _unpack_bits(packed):
-    """(..., n/8) uint8 -> (..., n) {0,1} (numpy packbits 'big' order)."""
-    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
-    bits = (packed[..., :, None] >> shifts) & jnp.uint8(1)
-    return bits.reshape(*packed.shape[:-1], packed.shape[-1] * 8)
+from ..ops.superbricks import unpack_bits as _unpack_bits
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ..data.dataset import FramePyramid
 from ..models import ModelConfig
 from ..models.sb_network import sb_training_bits, ACT
-from ..ops.superbricks import build_superbrick_level, SB_SLOTS
+from ..ops.superbricks import build_superbrick_level, unpack_bits, SB_SLOTS
 from .overfit import TrainConfig, adam_frame_update
 
 F32 = jnp.float32
@@ -35,15 +35,27 @@ def _sb_bucket(n: int) -> int:
 
 @dataclasses.dataclass
 class SbGopBatch:
+    """Wire/HBM discipline: ``code`` is int16 (values <= scale*128+127,
+    sentinel -1) and ``occ`` is BIT-PACKED along the slot axis — together
+    ~3x fewer bytes across host->device and resident in HBM (1.0 GB vs
+    3.0 GB for a 32-frame 800k-pt GOP).  Consumers unpack occupancy
+    in-jit (ops/superbricks.unpack_bits, pure VPU)."""
+
     nbr27: jax.Array     # (F, Bb, 27) int32 flat-global brick map, -1 absent
-    code: jax.Array      # (F, Bb, slots) int32 scale*128+feat, -1 empty
-    occ: jax.Array       # (F, Bb, 8, slots) uint8  (slots = side**3)
+    code: jax.Array      # (F, Bb, slots) int16 scale*128+feat, -1 empty
+    occ: jax.Array       # (F, Bb, 8, slots/8) uint8 bit-packed occupancy
     point_num: jax.Array  # (F,) float32
     level_slices: tuple  # static ((start, end, scale_idx), ...) per scale
 
     @property
     def n_frames(self):
         return self.nbr27.shape[0]
+
+    def occ_dense(self, f: int):
+        """Unpacked (Bb, 8, slots) uint8 view of frame ``f`` (tests)."""
+        from ..ops.superbricks import unpack_bits
+
+        return unpack_bits(self.occ[f])
 
 
 def assemble_gop_superbricks(
@@ -81,18 +93,18 @@ def assemble_gop_superbricks(
     f_nbr, f_code, f_occ = [], [], []
     for f in range(len(pyramids)):
         nbr = np.full((total, 27), -1, np.int32)
-        code = np.full((total, slots), -1, np.int32)
+        code = np.full((total, slots), -1, np.int16)
         occ = np.zeros((total, 8, slots), np.uint8)
         for s in range(s_num):
             lev = bl[f][s]
             a = int(offsets[s])
             nb = lev.n_bricks
             nbr[a: a + nb] = np.where(lev.nbr27 >= 0, lev.nbr27 + np.int32(a), -1)
-            code[a: a + nb] = lev.scale_code
+            code[a: a + nb] = lev.scale_code.astype(np.int16)
             occ[a: a + nb] = lev.occ
         f_nbr.append(nbr)
         f_code.append(code)
-        f_occ.append(occ)
+        f_occ.append(np.packbits(occ, axis=-1))
 
     return SbGopBatch(
         nbr27=jnp.asarray(np.stack(f_nbr)),
@@ -113,7 +125,8 @@ def sb_frame_loss(params, cfg: ModelConfig, fd: dict, level_slices,
     geom = dict(
         nbr27=fd["nbr27"], mask=mask, code=fd["code"], dtype=compute_dtype
     )
-    bits = sb_training_bits(params, cfg, geom, fd["occ"], level_slices)
+    occ = unpack_bits(fd["occ"])
+    bits = sb_training_bits(params, cfg, geom, occ, level_slices)
     return bits / fd["point_num"]
 
 
@@ -230,7 +243,8 @@ def make_frame_grads_sb(cfg: ModelConfig, level_slices,
 
         def chunk_fn(p, xg, sub, base):
             return sb_chunk_bits(
-                p, cfg, geom_of(sub), sub["occ"], base, stage_chunk, xg
+                p, cfg, geom_of(sub), unpack_bits(sub["occ"]), base,
+                stage_chunk, xg,
             )
 
         chunk_vg = jax.value_and_grad(

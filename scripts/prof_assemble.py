@@ -60,16 +60,19 @@ def main():
     occ_b = np.zeros((bb, 8, slots), np.uint8)
     occ_b[inv, :, slot] = occ
     t5 = time.time()
-    brick_coords = sbmod._np_unkey(brick_keys)
-    r = np.asarray(sbmod._DIRS, np.int64)
-    q = brick_coords[:, None, :].astype(np.int64) + r[None, :, :]
-    valid = np.all(q >= 0, axis=2)
-    qkey = (q[:, :, 0] << 42) | (q[:, :, 1] << 21) | q[:, :, 2]
+    doff = np.asarray(
+        [(dx << 42) + (dy << 21) + dz for (dx, dy, dz) in sbmod._DIRS],
+        np.int64,
+    )
+    qkey = brick_keys[:, None] + doff[None, :]
+    t5b = time.time()
     pos = np.searchsorted(brick_keys, qkey)
+    t5c = time.time()
     pos_c = np.minimum(pos, bb - 1)
-    hit = (brick_keys[pos_c] == qkey) & valid
+    hit = brick_keys[pos_c] == qkey
     nbr = np.where(hit, pos_c, -1).astype(np.int32)
     t6 = time.time()
+    print(f"  nbr sub: qkey={1e3*(t5b-t5):.1f} search={1e3*(t5c-t5b):.1f} rest={1e3*(t6-t5c):.1f}")
     print(
         f"level0 phases (ms): key={1e3*(t1-t0):.1f} unique={1e3*(t2-t1):.1f} "
         f"slot={1e3*(t3-t2):.1f} code-scatter={1e3*(t4-t3):.1f} "

@@ -237,7 +237,7 @@ def test_sb_network_matches_brick_network():
         )
         logits_s = np.asarray(
             sb_forward_all_stages(
-                params, cfg, geom_s, sb.occ[f].astype(jnp.float32),
+                params, cfg, geom_s, sb.occ_dense(f).astype(jnp.float32),
                 sb.level_slices,
             )
         )  # (Bb8, 8, 512)
@@ -319,7 +319,7 @@ def test_sb_matches_brick_with_stacked_and_resnet_blocks():
         )
         logits_s = np.asarray(
             sb_forward_all_stages(
-                params, cfg, geom_s, sb.occ[0].astype(jnp.float32),
+                params, cfg, geom_s, sb.occ_dense(0).astype(jnp.float32),
                 sb.level_slices,
             )
         )
