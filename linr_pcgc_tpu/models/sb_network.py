@@ -45,6 +45,8 @@ from .network import ModelConfig, _PREC, F32, LN2, stack_outer_blocks
 from ..ops.superbricks import (
     B4_HALO_VOL,
     B4_SLOTS,
+    b4_halo_sm,
+    b4_conv_weight_matrix_sm,
     SB_SLOTS,
     SUB_HALO,
     SUB_HALO_VOL,
@@ -102,6 +104,36 @@ def b4conv3(x, geom, w, b):
     return checkpoint_name(y.astype(dt), ACT)
 
 
+def b4conv3_sm(x, geom, w, b):
+    """Stage-batched 3^3 conv, SLOT-MAJOR — the production fast path
+    (round 3; see ops/superbricks.py "SLOT-MAJOR layout" and
+    scripts/prof_flat2.py: 7.2 ms vs 23.3 ms per conv at group shapes).
+
+    x: (Bb, S, 64*C) slot-major channel-minor; w: (S, 27, C, O); b:
+    (S, O).  ONE slot-major halo exchange whose concat output IS the MXU
+    matmul operand — the spatial un-permutation AND the channel/slot
+    interleave both live in the weight matrix (b4_conv_weight_matrix_sm),
+    so the einsum's (Bb, S, 64*O) output is directly the next conv's
+    input.  Returns (Bb, S, 64*O), tagged as a saved activation.
+    """
+    dt = geom["dtype"]
+    bb, s, vc = x.shape
+    o = w.shape[-1]
+    h = jax.lax.optimization_barrier(
+        b4_halo_sm(x.astype(dt), geom["nbr27"])
+    )
+    w2 = b4_conv_weight_matrix_sm(w).astype(dt)  # (S, 216*C, 64*O)
+    y = jnp.einsum(
+        "bsk,skn->bsn", h, w2,
+        precision=_prec(dt), preferred_element_type=_acc(dt),
+    )
+    y4 = y.reshape(bb, s, B4_SLOTS, o) + b[None, :, None, :]
+    y4 = y4 * geom["mask"][:, 0, 0, :][:, None, :, None]
+    return checkpoint_name(
+        y4.reshape(bb, s, B4_SLOTS * o).astype(dt), ACT
+    )
+
+
 def sbconv3(x, geom, w, b):
     """Stage-batched 3^3 superbrick conv (dispatches to the 4^3 fast path
     when the slot axis says so).
@@ -117,6 +149,8 @@ def sbconv3(x, geom, w, b):
     slots, bias + slot mask.
     Returns (Bb, S, O, 512), tagged as a saved activation.
     """
+    if x.ndim == 3:
+        return b4conv3_sm(x, geom, w, b)
     if x.shape[-1] == B4_SLOTS:
         return b4conv3(x, geom, w, b)
     dt = geom["dtype"]
@@ -151,8 +185,19 @@ def sbconv3(x, geom, w, b):
 
 
 def sbconv1(x, geom, w, b):
-    """Stage-batched 1^3 conv: x (Bb, S, C, slots), w (S, C, O), b (S, O)."""
+    """Stage-batched 1^3 conv: x (Bb, S, C, slots) channel-major or
+    (Bb, S, slots*C) slot-major; w (S, C, O), b (S, O)."""
     dt = geom["dtype"]
+    if x.ndim == 3:
+        bb, s, vc = x.shape
+        c, o = w.shape[-2], w.shape[-1]
+        xv = x.astype(dt).reshape(bb, s, B4_SLOTS, c)
+        y = jnp.einsum(
+            "bsvc,sco->bsvo", xv, w.astype(dt),
+            precision=_prec(dt), preferred_element_type=_acc(dt),
+        )
+        y = (y + b[None, :, None, :]) * geom["mask"][:, 0, 0, :][:, None, :, None]
+        return y.astype(dt).reshape(bb, s, B4_SLOTS * o)
     y = jnp.einsum(
         "bscv,sco->bsov", x.astype(dt), w.astype(dt),
         precision=_prec(dt), preferred_element_type=_acc(dt),
@@ -180,6 +225,12 @@ def _sb_irn(x, geom, p):
         ),
         geom, p["c12"]["w"], p["c12"]["b"],
     )
+    if x.ndim == 3:
+        # slot-major: the two half-channel paths interleave PER SLOT
+        bb, s, _ = x.shape
+        h0 = out0.reshape(bb, s, B4_SLOTS, -1)
+        h1 = out1.reshape(bb, s, B4_SLOTS, -1)
+        return jnp.concatenate([h0, h1], axis=-1).reshape(bb, s, -1) + x
     return jnp.concatenate([out0, out1], axis=2) + x
 
 
@@ -228,28 +279,52 @@ def sb_input_features(params, cfg: ModelConfig, geom, level_slices):
     (start, end, scale_idx) — the scale index is carried explicitly so a
     level *group* (a contiguous sub-range of levels, see
     runtime/sb_overfit's grouped gradient accumulation) can be processed
-    with correct per-scale parameters.  Returns (Bb, 1, ch, slots)."""
+    with correct per-scale parameters.  Returns (Bb, 1, ch, slots)
+    channel-major (side=8) or (Bb, 1, slots*ch) slot-major (side=4, the
+    production layout)."""
     dt = geom["dtype"]
-    code = geom["code"]  # (Bb, slots) int32, scale*128+feat, -1 empty
+    code = geom["code"]  # (Bb, slots) int, scale*128+feat, -1 empty
+    slots = code.shape[-1]
+    sm = slots == B4_SLOTS
     feat = code & 127
-    bits = jnp.stack(
-        [((feat >> k) & 1).astype(dt) for k in range(cfg.in_channel)], axis=1
-    )  # (Bb, 7, 512)
-    bits = bits * geom["mask"][:, 0]
+    if sm:
+        bits = jnp.stack(
+            [((feat >> k) & 1).astype(dt) for k in range(cfg.in_channel)],
+            axis=-1,
+        )  # (Bb, 64, 7) channel-minor
+        bits = bits * geom["mask"][:, 0, 0, :, None]
+    else:
+        bits = jnp.stack(
+            [((feat >> k) & 1).astype(dt) for k in range(cfg.in_channel)],
+            axis=1,
+        )  # (Bb, 7, slots)
+        bits = bits * geom["mask"][:, 0]
     parts = []
     for (a, b, s) in level_slices:
         seg_geom = dict(geom, mask=geom["mask"][a:b])
         emb = params["scale_emb"][s].astype(dt)  # (emb,)
-        seg = jnp.concatenate(
-            [
-                jnp.broadcast_to(
-                    emb[None, :, None], (b - a, emb.shape[0], code.shape[-1])
-                )
-                * seg_geom["mask"][:, 0],
-                bits[a:b],
-            ],
-            axis=1,
-        )[:, None]  # (seg, 1, 15, 512)
+        if sm:
+            seg = jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        emb[None, None, :], (b - a, slots, emb.shape[0])
+                    )
+                    * seg_geom["mask"][:, 0, 0, :, None],
+                    bits[a:b],
+                ],
+                axis=-1,
+            )[:, None].reshape(b - a, 1, slots * (emb.shape[0] + cfg.in_channel))
+        else:
+            seg = jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        emb[None, :, None], (b - a, emb.shape[0], slots)
+                    )
+                    * seg_geom["mask"][:, 0],
+                    bits[a:b],
+                ],
+                axis=1,
+            )[:, None]  # (seg, 1, emb+7, slots)
         l0 = _stack1(
             jax.tree_util.tree_map(lambda x: x[s], params["scale_mlp"]["l0"])
         )
@@ -257,7 +332,25 @@ def sb_input_features(params, cfg: ModelConfig, geom, level_slices):
             jax.tree_util.tree_map(lambda x: x[s], params["scale_mlp"]["l1"])
         )
         parts.append(_sb_mlp2(seg, seg_geom, l0, l1))
-    return jnp.concatenate(parts, axis=0)  # (Bb, 1, ch, 512)
+    return jnp.concatenate(parts, axis=0)  # (Bb, 1, [slots*]ch[, slots])
+
+
+def _occ_context_input(occ7, tri, geom, sm):
+    """The context blocks' input: 7 known-occupancy channels, channel c
+    visible to stage row r iff tri[r, c] (upsample.py:204-214 semantics).
+
+    occ7 (Bb, 7, slots), tri (S, 7) -> (Bb, S, 7, slots) channel-major,
+    or (Bb, S, slots*7) slot-major channel-minor (the production side=4
+    layout, where every conv operand keeps channels contiguous per slot).
+    """
+    if not sm:
+        occ_b = occ7[:, None, :, :] * tri[None, :, :, None]
+        return occ_b * geom["mask"]
+    occ_v = jnp.swapaxes(occ7, 1, 2)  # (Bb, slots, 7)
+    occ_v = occ_v * geom["mask"][:, 0, 0, :, None]
+    occ_b = occ_v[:, None, :, :] * tri[None, :, None, :]
+    bb, s = occ_b.shape[0], occ_b.shape[1]
+    return occ_b.reshape(bb, s, -1)
 
 
 def sb_forward_all_stages(params, cfg: ModelConfig, geom, occ_t, level_slices,
@@ -279,18 +372,18 @@ def sb_forward_all_stages(params, cfg: ModelConfig, geom, occ_t, level_slices,
     k = cfg.outstage - 1  # 7
     a, b = (0, cfg.outstage) if stage_range is None else stage_range
 
+    sm = geom["code"].shape[-1] == B4_SLOTS
     intensor = sb_input_features(params, cfg, geom, level_slices)
     x_glob = _sb_block(intensor, geom, _stack1(params["block_in"]))
 
     # context blocks j-1 serve stages j in [max(a,1), b)
     ca, cb = max(a, 1) - 1, b - 1
     if cb > ca:
-        occ7 = occ_t[:, :k, :]  # (Bb, 7, 512)
+        occ7 = occ_t[:, :k, :]  # (Bb, 7, slots)
         # row for stage j: occupancy channel c visible iff c < j
         rows = jnp.arange(ca + 1, cb + 1)  # stages with a context block
         tri = (rows[:, None] > jnp.arange(k)[None, :]).astype(dt)
-        occ_b = occ7[:, None, :, :] * tri[None, :, :, None]
-        occ_b = occ_b * geom["mask"]
+        occ_b = _occ_context_input(occ7, tri, geom, sm)
 
         st = stack_outer_blocks(params, cfg)
         sl = lambda t: jax.tree_util.tree_map(lambda x: x[ca:cb], t)
@@ -323,8 +416,8 @@ def sb_forward_all_stages(params, cfg: ModelConfig, geom, occ_t, level_slices,
             "w": params["inner_mlp"]["l1"]["w"][a:b],
             "b": params["inner_mlp"]["l1"]["b"][a:b],
         },
-    )  # (Bb, b-a, 1, 512)
-    return logits[:, :, 0, :]
+    )  # (Bb, b-a, 1, slots) cm / (Bb, b-a, slots) sm
+    return logits if logits.ndim == 3 else logits[:, :, 0, :]
 
 
 def sb_x_glob(params, cfg: ModelConfig, geom, level_slices):
@@ -353,12 +446,12 @@ def sb_chunk_logits(params, cfg: ModelConfig, geom, occ_t, base, cs: int,
     """
     dt = geom["dtype"]
     k = cfg.outstage - 1
+    sm = geom["code"].shape[-1] == B4_SLOTS
     occ_f = occ_t.astype(dt)
     rows = base + jnp.arange(cs)  # traced stage indices
     occ7 = occ_f[:, :k, :]
     tri = (rows[:, None] > jnp.arange(k)[None, :]).astype(dt)
-    occ_b = occ7[:, None, :, :] * tri[None, :, :, None]
-    occ_b = occ_b * geom["mask"]
+    occ_b = _occ_context_input(occ7, tri, geom, sm)
 
     st = stack_outer_blocks(params, cfg)
     idx = jnp.clip(rows - 1, 0)
@@ -368,8 +461,9 @@ def sb_chunk_logits(params, cfg: ModelConfig, geom, occ_t, base, cs: int,
         "irn": jax.tree_util.tree_map(tk, st["irn"]),
         "conv_out": jax.tree_util.tree_map(tk, st["conv_out"]),
     }
-    ctx = _sb_block(occ_b, geom, outer)  # (Bb, cs, ch, slots)
-    gate = (rows > 0).astype(dt)[None, :, None, None]
+    ctx = _sb_block(occ_b, geom, outer)  # (Bb, cs, ch, slots) / (Bb, cs, slots*ch)
+    gate = (rows > 0).astype(dt)
+    gate = gate[None, :, None] if ctx.ndim == 3 else gate[None, :, None, None]
     ctx_full = x_glob + gate * ctx
 
     tr = lambda a: jnp.take(a, rows, axis=0)
@@ -379,8 +473,8 @@ def sb_chunk_logits(params, cfg: ModelConfig, geom, occ_t, base, cs: int,
         geom,
         {"w": tr(params["inner_mlp"]["l0"]["w"]), "b": tr(params["inner_mlp"]["l0"]["b"])},
         {"w": tr(params["inner_mlp"]["l1"]["w"]), "b": tr(params["inner_mlp"]["l1"]["b"])},
-    )[:, :, 0, :]
-    return logits
+    )
+    return logits if logits.ndim == 3 else logits[:, :, 0, :]
 
 
 def sb_chunk_bits(params, cfg: ModelConfig, geom, occ_t, base, cs: int,

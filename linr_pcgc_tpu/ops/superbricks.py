@@ -554,6 +554,164 @@ def _b4_halo_bwd(nbr27, dh):
 b4_halo.defvjp(_b4_halo_fwd, _b4_halo_bwd)
 
 
+# --------------------------------------- 4^3 bricks, SLOT-MAJOR layout --
+#
+# Round-3 measurement (scripts/prof_flat2.py, 36864 bricks, SC=32):
+# the channel-major halo truly costs ~16.6 ms fully consumed and ~23 ms
+# composed with its matmul, because the gathered fragments interleave
+# channels with 4-16-wide spatial runs (strided assembly writes) and the
+# (Bb, SC, 216) -> (Bb, S, C*216) operand view relayouts.  Assembling the
+# halo CHANNEL-MINOR — activations (Bb, S, 64*C), slot-major with the C
+# channels contiguous per slot — makes every fragment a contiguous
+# slot-run, the assembly a pure minor-axis concat, and the concat output
+# (Bb, S, 216*C) IS the conv matmul operand (weight permutation folded at
+# trace time): measured 7.2 ms halo+matmul, 3.2x faster, numerically
+# identical.  This is the production layout for side=4; the 8^3 path
+# keeps the channel-major form.
+
+
+def _b4_yz_cols_sm(slab, dy, dz):
+    """Slot-major twin of _b4_yz_cols: slab (Bb, S, px, 16, c); the yz
+    selection slices axis -2 (16 = y*4 + z), channels stay minor."""
+    if (dy, dz) == (0, 0):
+        return slab
+    if (dy, dz) == (-1, 0):
+        return slab[..., 12:16, :]
+    if (dy, dz) == (1, 0):
+        return slab[..., 0:4, :]
+    if (dy, dz) == (0, -1):
+        return slab[..., 3::4, :]
+    if (dy, dz) == (0, 1):
+        return slab[..., 0::4, :]
+    if (dy, dz) == (-1, -1):
+        return slab[..., 15:16, :]
+    if (dy, dz) == (-1, 1):
+        return slab[..., 12:13, :]
+    if (dy, dz) == (1, -1):
+        return slab[..., 3:4, :]
+    return slab[..., 0:1, :]
+
+
+def _b4_yz_src_pad_sm(dy, dz, piece):
+    """Inverse of _b4_yz_cols_sm: zero-pad a gradient piece back to 16
+    source yz columns on axis -2 (interior pads realize the stride-4 z
+    columns)."""
+    if (dy, dz) == (0, 0):
+        return piece
+    pads = {
+        (-1, 0): (12, 0, 0),
+        (1, 0): (0, 12, 0),
+        (0, -1): (3, 0, 3),
+        (0, 1): (0, 3, 3),
+        (-1, -1): (15, 0, 0),
+        (-1, 1): (12, 3, 0),
+        (1, -1): (3, 12, 0),
+        (1, 1): (0, 15, 0),
+    }[(dy, dz)]
+    cfg = [(0, 0, 0)] * (piece.ndim - 2) + [pads, (0, 0, 0)]
+    out = jax.lax.pad(piece, jnp.zeros((), piece.dtype), cfg)
+    assert out.shape[-2] == 16, (pads, out.shape)
+    return out
+
+
+def _b4_halo_sm_forward(x, nbr27):
+    """x (Bb, S, 64*C) slot-major -> (Bb, S, 216*C) channel-minor halo.
+
+    Fragments are contiguous slot-runs (channels minor), flattened to
+    (Bb, S*px*w*C) before the gather (operand discipline), and the
+    two-level concat emits halo columns in (plane*36 + group)*C + c
+    order — exactly the rows of b4_conv_weight_matrix_sm."""
+    bb, s, vc = x.shape
+    c = vc // B4_SLOTS
+    xv = x.reshape(bb, s, B4, 16, c)
+
+    frags = {}
+    for d in _DIRS:
+        dx, dy, dz = d
+        sx = _B4_X_SRC[dx]
+        pc = _b4_yz_cols_sm(xv[:, :, sx[0]: sx[1]], dy, dz)
+        px, wd = pc.shape[2], pc.shape[3]
+        if d == (0, 0, 0):
+            frags[d] = pc.reshape(bb, s, px, wd * c)
+        else:
+            flat = pc.reshape(bb, s * px * wd * c)
+            g = _gather_rows(flat, nbr27[:, _DIRS.index(d)])
+            frags[d] = g.reshape(bb, s, px, wd * c)
+
+    planes = []
+    for hp in range(B4_HALO):
+        dx = -1 if hp == 0 else (1 if hp == B4_HALO - 1 else 0)
+        sp = 0 if dx != 0 else hp - 1
+        planes.append(
+            jnp.concatenate(
+                [frags[(dx, dy, dz)][:, :, sp, :] for (dy, dz) in _YZ_ORDER],
+                axis=2,
+            )
+        )
+    return jnp.concatenate(planes, axis=2)  # (Bb, S, 216*C)
+
+
+@jax.custom_vjp
+def b4_halo_sm(x, nbr27):
+    """(Bb, S, 64*C), (Bb, 27) -> (Bb, S, 216*C) slot-major halo."""
+    return _b4_halo_sm_forward(x, nbr27)
+
+
+def _b4_halo_sm_fwd(x, nbr27):
+    return _b4_halo_sm_forward(x, nbr27), nbr27
+
+
+def _b4_halo_sm_bwd(nbr27, dh):
+    """Scatter-free fold, slot-major: per direction d, slice the halo
+    window (contiguous slot-runs, channels minor), gather it over the -d
+    neighbor map, zero-pad back to 16 yz columns (axis -2) and
+    accumulate per source x-plane."""
+    bb, s = dh.shape[0], dh.shape[1]
+    c = dh.shape[2] // B4_HALO_VOL
+    dh = jax.lax.optimization_barrier(dh)
+    dhv = dh.reshape(bb, s, B4_HALO, B4_PLANE, c)
+    # per-source-x-plane accumulators, each (Bb, S, 16, c)
+    acc = [dhv[:, :, 1 + q, 0:16, :] for q in range(B4)]
+    for d in _DIRS:
+        if d == (0, 0, 0):
+            continue
+        dx, dy, dz = d
+        mk = _DIRS.index((-dx, -dy, -dz))
+        x0, x1 = _B4_X_DST[dx]
+        c0, c1 = _B4_YZ_DST[(dy, dz)]
+        px, wd = x1 - x0, c1 - c0
+        window = dhv[:, :, x0:x1, c0:c1, :].reshape(bb, s * px * wd * c)
+        piece = _gather_rows(window, nbr27[:, mk]).reshape(bb, s, px, wd, c)
+        piece = _b4_yz_src_pad_sm(dy, dz, piece)  # (Bb, S, px, 16, c)
+        s0, _ = _B4_X_SRC[dx]
+        for q in range(px):
+            acc[s0 + q] = acc[s0 + q] + piece[:, :, q, :, :]
+    dx_out = jnp.stack(acc, axis=2).reshape(bb, s, B4_SLOTS * c)
+    d_nbr = np.zeros(nbr27.shape, dtype=jax.dtypes.float0)
+    return dx_out, d_nbr
+
+
+b4_halo_sm.defvjp(_b4_halo_sm_fwd, _b4_halo_sm_bwd)
+
+
+def b4_conv_weight_matrix_sm(w):
+    """(..., 27, Cin, Cout) canonical kernel -> (..., 216*Cin, 64*Cout)
+    dense conv matrix in SLOT-MAJOR channel-minor order: rows f*Cin+c
+    (matching b4_halo_sm's columns), cols v*Cout+o (so the output is
+    directly the next conv's slot-major input)."""
+    cin, cout = w.shape[-2], w.shape[-1]
+    lead = w.shape[:-3]
+    w2 = b4_conv_weight_matrix(w).reshape(
+        *lead, cin, B4_HALO_VOL, cout, B4_SLOTS
+    )
+    perm = tuple(range(len(lead))) + tuple(
+        len(lead) + i for i in (1, 0, 3, 2)
+    )
+    return jnp.transpose(w2, perm).reshape(
+        *lead, B4_HALO_VOL * cin, B4_SLOTS * cout
+    )
+
+
 def b4_halo_to_spatial(h: np.ndarray) -> np.ndarray:
     """Test/debug helper: (Bb, C, 216) flat group halo -> dense
     (Bb, C, 6, 6, 6) spatial halo (numpy)."""
