@@ -45,6 +45,7 @@ from .network import ModelConfig, _PREC, F32, LN2, stack_outer_blocks
 from ..ops.superbricks import (
     B4_HALO_VOL,
     B4_SLOTS,
+    b4_convsm,
     b4_halo_sm,
     b4_conv_weight_matrix_sm,
     SB_SLOTS,
@@ -114,19 +115,16 @@ def b4conv3_sm(x, geom, w, b):
     matmul operand — the spatial un-permutation AND the channel/slot
     interleave both live in the weight matrix (b4_conv_weight_matrix_sm),
     so the einsum's (Bb, S, 64*O) output is directly the next conv's
-    input.  Returns (Bb, S, 64*O), tagged as a saved activation.
+    input.  The whole halo+matmul is one custom-VJP primitive
+    (ops/superbricks.b4_convsm) whose backward runs a single halo
+    exchange of dy (transposed conv) — 2 gather passes per
+    value_and_grad instead of 3, no halo residual.
+    Returns (Bb, S, 64*O), tagged as a saved activation.
     """
     dt = geom["dtype"]
     bb, s, vc = x.shape
     o = w.shape[-1]
-    h = jax.lax.optimization_barrier(
-        b4_halo_sm(x.astype(dt), geom["nbr27"])
-    )
-    w2 = b4_conv_weight_matrix_sm(w).astype(dt)  # (S, 216*C, 64*O)
-    y = jnp.einsum(
-        "bsk,skn->bsn", h, w2,
-        precision=_prec(dt), preferred_element_type=_acc(dt),
-    )
+    y = b4_convsm(x.astype(dt), w, geom["nbr27"])
     y4 = y.reshape(bb, s, B4_SLOTS, o) + b[None, :, None, :]
     y4 = y4 * geom["mask"][:, 0, 0, :][:, None, :, None]
     return checkpoint_name(
@@ -475,6 +473,99 @@ def sb_chunk_logits(params, cfg: ModelConfig, geom, occ_t, base, cs: int,
         {"w": tr(params["inner_mlp"]["l1"]["w"]), "b": tr(params["inner_mlp"]["l1"]["b"])},
     )
     return logits if logits.ndim == 3 else logits[:, :, 0, :]
+
+
+def sb_fused_chunk_logits(params, cfg: ModelConfig, geom, occ_t, base,
+                          cs: int, level_slices):
+    """Logits (Bb, cs, slots) for ``cs`` stages starting at traced index
+    ``base`` — block_in FUSED into the stage-batched context pass.
+
+    Rationale (measured, scripts/prof_step.py): the halo exchange is
+    gather ROW-rate bound — 27 x Bb rows per conv regardless of the
+    stage-batch width S, so an S=1 x_glob pass costs nearly as much as a
+    whole S=4 chunk (335 vs 421 ms at 81920 bricks).  block_in and the
+    outer context blocks share one architecture (conv-irn-conv, ch
+    channels; init_params: block variants apply to block_in only, and
+    this fused path requires the default 1-layer inception block_in —
+    callers fall back to sb_chunk_logits + sb_x_glob otherwise), so the
+    input-feature row rides the SAME halo exchanges as the cs context
+    rows: S' = 1 + cs, amortizing every gather across all stages.
+
+    Exact: row 0 computes block_in on the input features (= x_glob),
+    rows 1..cs the stage contexts; the occupancy context input is
+    zero-padded from 7 to ch channels to match block_in's conv_in width
+    (zero weights contribute exactly 0.0, cf. stack_outer_blocks).
+    """
+    dt = geom["dtype"]
+    k = cfg.outstage - 1
+    ch = cfg.ch
+    sm = geom["code"].shape[-1] == B4_SLOTS
+    rows = base + jnp.arange(cs)
+    occ7 = occ_t.astype(dt)[:, :k, :]
+    tri = (rows[:, None] > jnp.arange(k)[None, :]).astype(dt)
+    occ_b = _occ_context_input(occ7, tri, geom, sm)
+    bb = occ_b.shape[0]
+    if sm:
+        occ_b = jnp.pad(
+            occ_b.reshape(bb, cs, -1, k),
+            ((0, 0), (0, 0), (0, 0), (0, ch - k)),
+        ).reshape(bb, cs, -1)
+    else:
+        occ_b = jnp.pad(occ_b, ((0, 0), (0, 0), (0, ch - k), (0, 0)))
+    feat = sb_input_features(params, cfg, geom, level_slices)
+    xin = jnp.concatenate([feat, occ_b], axis=1)  # (Bb, 1+cs, ...)
+
+    st = stack_outer_blocks(params, cfg)
+    idx = jnp.clip(rows - 1, 0)
+    tk = lambda a: jnp.take(a, idx, axis=0)
+    cat = lambda b_leaf, o_rows: jnp.concatenate([b_leaf[None], o_rows], 0)
+    bi = params["block_in"]
+    cw = jnp.pad(st["conv_in_w"], ((0, 0), (0, 0), (0, ch - k), (0, 0)))
+    blk = {
+        "conv_in": {
+            "w": cat(bi["conv_in"]["w"], tk(cw)),
+            "b": cat(bi["conv_in"]["b"], tk(st["conv_in_b"])),
+        },
+        "irn": jax.tree_util.tree_map(
+            lambda b, o: cat(b, tk(o)), bi["irn"], st["irn"]
+        ),
+        "conv_out": jax.tree_util.tree_map(
+            lambda b, o: cat(b, tk(o)), bi["conv_out"], st["conv_out"]
+        ),
+    }
+    out = _sb_block(xin, geom, blk)  # (Bb, 1+cs, ...)
+    x_glob = out[:, :1]
+    ctx = out[:, 1:]
+    gate = (rows > 0).astype(dt)
+    gate = gate[None, :, None] if ctx.ndim == 3 else gate[None, :, None, None]
+    ctx_full = x_glob + gate * ctx
+
+    tr = lambda a: jnp.take(a, rows, axis=0)
+    h = sbconv3(ctx_full, geom, tr(params["prune"]["w"]), tr(params["prune"]["b"]))
+    logits = _sb_mlp2(
+        h,
+        geom,
+        {"w": tr(params["inner_mlp"]["l0"]["w"]), "b": tr(params["inner_mlp"]["l0"]["b"])},
+        {"w": tr(params["inner_mlp"]["l1"]["w"]), "b": tr(params["inner_mlp"]["l1"]["b"])},
+    )
+    return logits if logits.ndim == 3 else logits[:, :, 0, :]
+
+
+def sb_fused_chunk_bits(params, cfg: ModelConfig, geom, occ_t, base, cs: int,
+                        level_slices):
+    """Masked sum-BCE bits of the ``cs`` stages starting at traced index
+    ``base`` through the fused pass (see sb_fused_chunk_logits)."""
+    logits = sb_fused_chunk_logits(
+        params, cfg, geom, occ_t, base, cs, level_slices
+    ).astype(F32)
+    occ = jax.lax.dynamic_slice_in_dim(occ_t, base, cs, axis=1).astype(F32)
+    bce = (
+        jnp.maximum(logits, 0.0)
+        - logits * occ
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+    bce = bce * geom["mask"][:, 0].astype(F32)
+    return jnp.sum(bce) / LN2
 
 
 def sb_chunk_bits(params, cfg: ModelConfig, geom, occ_t, base, cs: int,

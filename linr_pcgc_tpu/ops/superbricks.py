@@ -712,6 +712,97 @@ def b4_conv_weight_matrix_sm(w):
     )
 
 
+# ------------------------------- fused slot-major conv (one-gather VJP) --
+#
+# The halo exchange is gather ROW-rate bound (27 x Bb rows per pass,
+# scripts/prof_step.py), so the backward must not pay extra passes.  The
+# naive chain [h = halo(x); y = h @ W2] costs THREE passes per
+# value_and_grad under rematerialization: the forward halo, the halo
+# recompute for dW2 = h^T dy, and the scatter-free fold of dh.  This
+# custom VJP reformulates the backward around ONE halo exchange *of dy*:
+#
+#   dx = halo(dy) @ Wt          (the transposed conv: flipped kernel,
+#                                swapped channel roles — same einsum shape
+#                                as the forward)
+#   dw = SEL * (x^T halo(dy))   (x is already a saved activation; the
+#                                (64C, 216O) moment contracts to the 27
+#                                kernel taps through the static selection
+#                                tensor)
+#
+# Two gather passes per value_and_grad instead of three, and no multi-GB
+# halo residual: the only saved tensors are x and w.
+
+_FLIP = [_DIRS.index((-dx, -dy, -dz)) for (dx, dy, dz) in _DIRS]
+
+
+def _sm_prec(dt):
+    return (
+        jax.lax.Precision.HIGHEST
+        if dt == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+def _sm_acc(dt):
+    # bf16 path accumulates in bf16 (output is cast anyway, and CPU's dot
+    # kernel lacks BF16xBF16->F32); f32 stays f32
+    return jnp.float32 if dt == jnp.float32 else dt
+
+
+def _b4_convsm_forward(x, w, nbr27):
+    dt = x.dtype
+    h = jax.lax.optimization_barrier(_b4_halo_sm_forward(x, nbr27))
+    w2 = b4_conv_weight_matrix_sm(w).astype(dt)  # (S, 216*C, 64*O)
+    return jnp.einsum(
+        "bsk,skn->bsn", h, w2,
+        precision=_sm_prec(dt), preferred_element_type=_sm_acc(dt),
+    ).astype(dt)
+
+
+@jax.custom_vjp
+def b4_convsm(x, w, nbr27):
+    """Fused slot-major 3^3 brick conv: x (Bb, S, 64*C) + canonical kernel
+    w (S, 27, C, O) -> (Bb, S, 64*O).  Bias/mask live in the caller."""
+    return _b4_convsm_forward(x, w, nbr27)
+
+
+def _b4_convsm_fwd(x, w, nbr27):
+    return _b4_convsm_forward(x, w, nbr27), (x, w, nbr27)
+
+
+def _b4_convsm_bwd(res, dy):
+    x, w, nbr27 = res
+    dt = x.dtype
+    bb, s, vc = x.shape
+    c = vc // B4_SLOTS
+    o = dy.shape[-1] // B4_SLOTS
+    g = jax.lax.optimization_barrier(
+        _b4_halo_sm_forward(dy.astype(dt), nbr27)
+    )  # (Bb, S, 216*O)
+    # dx: transposed conv — flipped taps, (C, O) roles swapped
+    wt_src = jnp.swapaxes(w[..., _FLIP, :, :], -1, -2)  # (S, 27, O, C)
+    wt = b4_conv_weight_matrix_sm(wt_src).astype(dt)  # (S, 216*O, 64*C)
+    dx = jnp.einsum(
+        "bsj,sjm->bsm", g, wt,
+        precision=_sm_prec(dt), preferred_element_type=_sm_acc(dt),
+    ).astype(dt)
+    # dw: brick-contracted moment, then the static tap selection
+    m = jnp.einsum(
+        "bsu,bsj->suj", x, g,
+        precision=_sm_prec(dt), preferred_element_type=jnp.float32,
+    ).reshape(s, B4_SLOTS, c, B4_HALO_VOL, o)
+    # tap k pairs x at voxel u with dy at u - off_k = halo position
+    # SEL[flip(k), u, :]
+    dw = jnp.einsum(
+        "kuj,sucjo->skco", _SEL_B4[np.asarray(_FLIP)], m.astype(jnp.float32)
+    )
+    d_nbr = np.zeros(nbr27.shape, dtype=jax.dtypes.float0)
+    return dx, dw.astype(w.dtype), d_nbr
+
+
+b4_convsm.defvjp(_b4_convsm_fwd, _b4_convsm_bwd)
+
+
 def b4_halo_to_spatial(h: np.ndarray) -> np.ndarray:
     """Test/debug helper: (Bb, C, 216) flat group halo -> dense
     (Bb, C, 6, 6, 6) spatial halo (numpy)."""

@@ -201,13 +201,25 @@ def make_frame_grads_sb(cfg: ModelConfig, level_slices,
     if max_group_bricks is None and small:
         max_group_bricks = total
     groups = level_groups(level_slices, max_group_bricks)
+    # The fused pass rides block_in on the context chunk's halo exchanges
+    # (the halo is gather row-rate bound, so the S=1 x_glob pass costs
+    # ~80% of a whole chunk; see models/sb_network.sb_fused_chunk_logits).
+    # It requires the default 1-layer inception block_in — init_params
+    # gives block variants to block_in only.
+    fused = (
+        slots == 64
+        and cfg.block_layers == 1
+        and cfg.block_type == "inception"
+    )
     if stage_chunk is None:
-        # production peaks (800k-pt frames): 4^3 @ 4-stage chunks ~9 GB
-        # bf16; f32 compute doubles every activation/halo (4-chunk f32
-        # measured 22.6 GB > 15.75) -> halve the chunk
+        # production peaks (800k-pt frames): slot-major 4^3 @ 8-stage
+        # fused chunks ~7 GB bf16 / ~14 GB f32 (no lane padding; measured
+        # round 3).  The channel-major 8^3 path keeps smaller chunks.
         bf16 = compute_dtype == jnp.bfloat16
         if small:
             stage_chunk = cfg.outstage
+        elif fused:
+            stage_chunk = 8 if bf16 else 4
         elif slots == 64:
             stage_chunk = 4 if bf16 else 2
         else:
@@ -215,7 +227,11 @@ def make_frame_grads_sb(cfg: ModelConfig, level_slices,
     assert cfg.outstage % stage_chunk == 0, (cfg.outstage, stage_chunk)
     n_chunks = cfg.outstage // stage_chunk
 
-    from ..models.sb_network import sb_chunk_bits, sb_x_glob
+    from ..models.sb_network import (
+        sb_chunk_bits,
+        sb_fused_chunk_bits,
+        sb_x_glob,
+    )
 
     def make_group_fn(sub_slices):
         """(params, sub) -> (bits, grads) for one level group.
@@ -235,6 +251,38 @@ def make_frame_grads_sb(cfg: ModelConfig, level_slices,
                 nbr27=sub["nbr27"], mask=mask, code=sub["code"],
                 dtype=compute_dtype,
             )
+
+        if fused:
+            def fchunk_fn(p, sub, base):
+                return sb_fused_chunk_bits(
+                    p, cfg, geom_of(sub), unpack_bits(sub["occ"]), base,
+                    stage_chunk, sub_slices,
+                )
+
+            fchunk_vg = jax.value_and_grad(
+                jax.checkpoint(fchunk_fn, policy=policy)
+            )
+
+            def fused_fn(params, sub):
+                def body(carry, base):
+                    bits_a, gp_a = carry
+                    bits, gp = fchunk_vg(params, sub, base)
+                    return (
+                        bits_a + bits,
+                        jax.tree_util.tree_map(jnp.add, gp_a, gp),
+                    ), None
+
+                init = (
+                    jnp.zeros((), F32),
+                    jax.tree_util.tree_map(jnp.zeros_like, params),
+                )
+                (bits, gp), _ = jax.lax.scan(
+                    body, init,
+                    jnp.arange(n_chunks, dtype=jnp.int32) * stage_chunk,
+                )
+                return bits, gp
+
+            return fused_fn
 
         xg_fwd = jax.checkpoint(
             lambda p, sub: sb_x_glob(p, cfg, geom_of(sub), sub_slices),

@@ -385,3 +385,93 @@ def test_sb_grouped_grad_accumulation_matches_single():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-4
         )
+
+
+def test_sb_fused_chunk_matches_forward_all_stages():
+    """The fused [block_in ++ context] chunk pass (the production trainer
+    path) reproduces sb_forward_all_stages' logits exactly at f32: row 0
+    computes x_glob on the same halo exchanges as the context rows, and
+    the 7->ch zero-pad of the occupancy input is a no-op."""
+    from linr_pcgc_tpu.models.sb_network import (
+        sb_forward_all_stages,
+        sb_fused_chunk_logits,
+    )
+
+    pyrs, s_num = _gop(n_frames=1, n_points=1500, depth=5)
+    cfg = ModelConfig(scale_num=s_num)
+    params = init_params(jax.random.PRNGKey(11), cfg)
+    sb = assemble_gop_superbricks(pyrs)
+    mask = (sb.code[0] >= 0).astype(jnp.float32)[:, None, None, :]
+    geom = dict(
+        nbr27=sb.nbr27[0], mask=mask, code=sb.code[0], dtype=jnp.float32
+    )
+    occ = sb.occ_dense(0).astype(jnp.float32)
+    ref = np.asarray(
+        sb_forward_all_stages(params, cfg, geom, occ, sb.level_slices)
+    )
+    for base, cs in ((0, 8), (0, 4), (4, 4), (2, 2)):
+        got = np.asarray(
+            sb_fused_chunk_logits(
+                params, cfg, geom, occ, jnp.int32(base), cs, sb.level_slices
+            )
+        )
+        np.testing.assert_allclose(
+            got, ref[:, base: base + cs, :], rtol=2e-5, atol=2e-5,
+            err_msg=f"base={base} cs={cs}",
+        )
+
+
+def test_b4_convsm_vjp_matches_autodiff():
+    """The fused conv's one-gather backward (dx via the transposed conv
+    of halo(dy), dw via the static tap-selection contraction of
+    x^T halo(dy)) equals autodiff of the plain halo+matmul forward."""
+    import jax
+
+    from linr_pcgc_tpu.ops.superbricks import (
+        b4_convsm,
+        _b4_halo_sm_forward,
+        b4_conv_weight_matrix_sm,
+        B4_SLOTS,
+    )
+
+    rng = np.random.default_rng(3)
+    bb, s, c, o = 40, 3, 5, 4
+    x = jnp.asarray(rng.standard_normal((bb, s, B4_SLOTS * c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((s, 27, c, o)) * 0.3, jnp.float32)
+    # geometric sparse adjacency (what production neighbor maps are):
+    # bricks at random 3-D sites, nbr by coordinate lookup
+    from linr_pcgc_tpu.ops.superbricks import _DIRS
+
+    sites = rng.choice(6 * 6 * 6, size=bb, replace=False)
+    coords = np.stack([sites // 36, (sites // 6) % 6, sites % 6], axis=1)
+    lut = {tuple(cc): i for i, cc in enumerate(coords)}
+    nbr = np.full((bb, 27), -1, np.int32)
+    for b in range(bb):
+        for d_i, d in enumerate(_DIRS):
+            key = tuple(coords[b] + np.asarray(d))
+            if key in lut:
+                nbr[b, d_i] = lut[key]
+    nbr = jnp.asarray(nbr)
+
+    def ref(x, w):
+        h = _b4_halo_sm_forward(x, nbr)
+        return jnp.einsum(
+            "bsk,skn->bsn", h, b4_conv_weight_matrix_sm(w),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def fused(x, w):
+        return b4_convsm(x, w, nbr)
+
+    np.testing.assert_allclose(
+        np.asarray(ref(x, w)), np.asarray(fused(x, w)), rtol=1e-5, atol=1e-5
+    )
+    ct = jnp.asarray(rng.standard_normal(ref(x, w).shape), jnp.float32)
+
+    def loss(f):
+        return lambda xx, ww: jnp.sum(f(xx, ww) * ct)
+
+    gx_r, gw_r = jax.grad(loss(ref), argnums=(0, 1))(x, w)
+    gx_f, gw_f = jax.grad(loss(fused), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_r), np.asarray(gx_f), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_r), np.asarray(gw_f), rtol=1e-4, atol=1e-4)
