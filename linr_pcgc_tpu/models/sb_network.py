@@ -209,7 +209,48 @@ def _relu(x):
 
 
 def _sb_irn(x, geom, p):
-    """InceptionResNet (resnet.py:7-60), stage-batched."""
+    """InceptionResNet (resnet.py:7-60), stage-batched.
+
+    Slot-major runs the two branches' leading 3^3 convs (c00 on x, c11 on
+    relu(c10(x))) as ONE conv on the per-slot channel concatenation with
+    block weights: the halo exchange is gather ROW-rate bound (27 x Bb
+    rows regardless of channel width), so concatenating channels halves
+    the gathered row count for these two convs.  The block-zero weight
+    positions contribute exact 0.0 terms, and their dw flows nowhere
+    (w_cat is built from the params by scatter, so autodiff routes only
+    the live blocks back).
+    """
+    if x.ndim == 3:
+        bb, s, _ = x.shape
+        c = p["c00"]["w"].shape[-2]
+        h = c // 2
+        t = _relu(sbconv1(x, geom, p["c10"]["w"], p["c10"]["b"]))
+        xc = jnp.concatenate(
+            [
+                x.reshape(bb, s, B4_SLOTS, c),
+                t.reshape(bb, s, B4_SLOTS, h),
+            ],
+            axis=-1,
+        ).reshape(bb, s, -1)  # (Bb, S, 64*(c+h))
+        w00, w11 = p["c00"]["w"], p["c11"]["w"]  # (S,27,c,h), (S,27,h,h)
+        w_cat = jnp.zeros(
+            (w00.shape[0], w00.shape[1], c + h, c), w00.dtype
+        )
+        w_cat = w_cat.at[:, :, :c, :h].set(w00)
+        w_cat = w_cat.at[:, :, c:, h:].set(w11)
+        b_cat = jnp.concatenate([p["c00"]["b"], p["c11"]["b"]], axis=-1)
+        y = b4conv3_sm(xc, geom, w_cat, b_cat).reshape(bb, s, B4_SLOTS, c)
+        out0 = sbconv3(
+            _relu(y[..., :h].reshape(bb, s, -1)),
+            geom, p["c01"]["w"], p["c01"]["b"],
+        )
+        out1 = sbconv1(
+            _relu(y[..., h:].reshape(bb, s, -1)),
+            geom, p["c12"]["w"], p["c12"]["b"],
+        )
+        h0 = out0.reshape(bb, s, B4_SLOTS, -1)
+        h1 = out1.reshape(bb, s, B4_SLOTS, -1)
+        return jnp.concatenate([h0, h1], axis=-1).reshape(bb, s, -1) + x
     out0 = sbconv3(
         _relu(sbconv3(x, geom, p["c00"]["w"], p["c00"]["b"])),
         geom, p["c01"]["w"], p["c01"]["b"],
@@ -223,12 +264,6 @@ def _sb_irn(x, geom, p):
         ),
         geom, p["c12"]["w"], p["c12"]["b"],
     )
-    if x.ndim == 3:
-        # slot-major: the two half-channel paths interleave PER SLOT
-        bb, s, _ = x.shape
-        h0 = out0.reshape(bb, s, B4_SLOTS, -1)
-        h1 = out1.reshape(bb, s, B4_SLOTS, -1)
-        return jnp.concatenate([h0, h1], axis=-1).reshape(bb, s, -1) + x
     return jnp.concatenate([out0, out1], axis=2) + x
 
 

@@ -803,6 +803,96 @@ def _b4_convsm_bwd(res, dy):
 b4_convsm.defvjp(_b4_convsm_fwd, _b4_convsm_bwd)
 
 
+# --------------------------------------------------- device brickify ----
+#
+# The codec's per-level geometry (brick structure, neighbor maps,
+# 7-neighbor feature codes) used to be rebuilt host-side per codec side
+# (build_superbrick_level) and uploaded: ~11 MB/frame of int32 code/nbr
+# arrays at level 0 — the dominant cost of the round-2 codec through the
+# dev tunnel, and ~1 s/frame of host numpy per side.  This is the same
+# computation as sorts + sorted lookups, so it runs in-jit on device:
+# both codec sides derive geometry from coordinates the decoder already
+# has on device (base layer + octree_up chain), and only packed
+# occupancy bits and per-voxel f16 probabilities cross the link.
+
+
+def dev_brickify(coords, keys, scale_idx, brick_cap: int, side: int = 4):
+    """Brickify one frame's level on device (jit-friendly, static shapes).
+
+    Args:
+      coords: (Nv, 3) int32, canonically sorted, pad-tailed.
+      keys: (Nv,) int64 canonical keys (KEY_PAD on pads).
+      scale_idx: traced or static int — the level's scale index.
+      brick_cap: static brick capacity (must be >= n_bricks; both codec
+        sides derive it from counts they share, so shapes agree).
+      side: brick side (4 for the production slot-major layout).
+
+    Returns dict:
+      bkeys: (brick_cap,) int64 sorted unique brick keys, KEY_PAD-padded.
+      n_bricks: scalar int32.
+      vox_brick: (Nv,) int32 brick index per voxel (-1 on pads).
+      vox_slot: (Nv,) int32 slot per voxel (0 on pads).
+      code: (brick_cap, slots) int32 scale*128 + feat, -1 empty.
+      nbr27: (brick_cap, 27) int32 brick neighbor map, -1 absent.
+
+    Integer-exact equivalent of build_superbrick_level (same slot and
+    key conventions); proven against it in tests/test_superbricks.py.
+    """
+    from .coords import KEY_PAD, coord_key, lookup
+    from .octree import neighbor_feature_code
+
+    shift = side.bit_length() - 1
+    m = side - 1
+    slots = side**3
+    valid = keys != KEY_PAD
+    bkey_all = coord_key(coords >> shift, valid)  # (Nv,)
+    sbk = jnp.sort(bkey_all)
+    prev = jnp.concatenate([jnp.full((1,), -1, sbk.dtype), sbk[:-1]])
+    is_first = (sbk != KEY_PAD) & (sbk != prev)
+    n_bricks = jnp.sum(is_first.astype(jnp.int32))
+    rank = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    dst = jnp.where(is_first, rank, brick_cap)
+    bkeys = jnp.full((brick_cap,), KEY_PAD, jnp.int64).at[dst].set(
+        sbk, mode="drop"
+    )
+
+    vox_brick = lookup(bkeys, bkey_all)  # -1 on pads
+    slot = (
+        ((coords[:, 0] & m) << (2 * shift))
+        | ((coords[:, 1] & m) << shift)
+        | (coords[:, 2] & m)
+    ).astype(jnp.int32)
+    slot = jnp.where(valid, slot, 0)
+
+    feat = neighbor_feature_code(coords, keys) & 127
+    flat = jnp.where(valid, vox_brick * slots + slot, brick_cap * slots)
+    code = (
+        jnp.full((brick_cap * slots,), -1, jnp.int32)
+        .at[flat]
+        .set((jnp.int32(scale_idx) * 128 + feat).astype(jnp.int32), mode="drop")
+        .reshape(brick_cap, slots)
+    )
+
+    # neighbor keys by direct key arithmetic (same borrow argument as the
+    # host build_superbrick_level: borders produce keys of nonexistent
+    # bricks, so the exact-match lookup returns -1)
+    doff = jnp.asarray(
+        [(dx << 42) + (dy << 21) + dz for (dx, dy, dz) in _DIRS], jnp.int64
+    )
+    qk = jnp.where(
+        (bkeys != KEY_PAD)[:, None], bkeys[:, None] + doff[None, :], KEY_PAD
+    )
+    nbr27 = lookup(bkeys, qk)
+    return dict(
+        bkeys=bkeys,
+        n_bricks=n_bricks,
+        vox_brick=vox_brick,
+        vox_slot=slot,
+        code=code,
+        nbr27=nbr27,
+    )
+
+
 def b4_halo_to_spatial(h: np.ndarray) -> np.ndarray:
     """Test/debug helper: (Bb, C, 216) flat group halo -> dense
     (Bb, C, 6, 6, 6) spatial halo (numpy)."""

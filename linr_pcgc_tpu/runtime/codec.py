@@ -164,7 +164,9 @@ def encode_gop_streams(params, cfg: ModelConfig, pyramids: list[FramePyramid]):
     """Occupancy streams for every (frame, scale) of a GOP, coded
     stage-synchronously across frames.  Returns blobs[frame][scale]."""
     if _use_sb(cfg):
-        return encode_gop_streams_sb(params, cfg, pyramids)
+        from .dev_codec import encode_gop_streams_dev
+
+        return encode_gop_streams_dev(params, cfg, pyramids)
     return encode_gop_streams_gather(params, cfg, pyramids)
 
 
@@ -260,7 +262,9 @@ def decode_gop_streams(
     arrays, one per frame.
     """
     if _use_sb(cfg):
-        return decode_gop_streams_sb(params, cfg, frame_blobs, lows)
+        from .dev_codec import decode_gop_streams_dev
+
+        return decode_gop_streams_dev(params, cfg, frame_blobs, lows)
     return decode_gop_streams_gather(params, cfg, frame_blobs, lows)
 
 

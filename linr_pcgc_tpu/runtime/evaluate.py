@@ -39,25 +39,26 @@ def _gop_probs_and_bits(params, cfg: ModelConfig, pyramids):
     from .codec import _use_sb
 
     if _use_sb(cfg):
-        from .sb_codec import build_codec_level, encode_level_probs, _frame_chunks
+        # identical frame sub-batching and executables to the production
+        # encoder — the real decode reads these streams, so the f32
+        # probability bits must match exactly
+        from .dev_codec import encode_chunk_probs_dev, _frame_chunks
 
         f = len(pyramids)
         per_frame = [[] for _ in range(f)]
-        for s in range(pyramids[0].scale_num):
-            # identical frame sub-batching to the production encoder —
-            # the real decode reads these streams, so the executables
-            # (and their f32 bits) must match exactly
-            for chunk in _frame_chunks(f):
-                level = build_codec_level(
-                    [pyramids[i].levels[s].coords[: pyramids[i].levels[s].n] for i in chunk],
-                    s,
-                    [pyramids[i].levels[s].occ[: pyramids[i].levels[s].n] for i in chunk],
-                )
-                probs, bits = encode_level_probs(params, cfg, level)
+        for chunk in _frame_chunks(f):
+            pyrs = [pyramids[i] for i in chunk]
+            levels = encode_chunk_probs_dev(params, cfg, pyrs)
+            for s, probs, bits in sorted(levels, key=lambda e: e[0]):
                 for stage in range(cfg.outstage):
                     for j, i in enumerate(chunk):
                         per_frame[i].append(
-                            (s, stage, probs[stage][j], bits[stage][j])
+                            (
+                                s,
+                                stage,
+                                probs[stage][j],
+                                bits[stage][j].astype(np.float32),
+                            )
                         )
         return per_frame
 

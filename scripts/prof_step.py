@@ -107,6 +107,21 @@ def main():
         cfwd = jax.jit(chunk_fn)
         timeit(f"g{gi} chunk fwd", cfwd, params, xg, sub, jnp.int32(0))
 
+        def fchunk_fn(p, sb, base):
+            from linr_pcgc_tpu.ops.superbricks import unpack_bits
+            from linr_pcgc_tpu.models.sb_network import sb_fused_chunk_bits
+
+            return sb_fused_chunk_bits(
+                p, cfg, geom_of(sb), unpack_bits(sb["occ"]), base, 8,
+                sub_slices,
+            )
+
+        fvg = jax.jit(jax.value_and_grad(
+            jax.checkpoint(fchunk_fn, policy=policy)))
+        timeit(f"g{gi} FUSED chunk vg (cs=8)", fvg, params, sub, jnp.int32(0))
+        timeit(f"g{gi} FUSED chunk fwd", jax.jit(fchunk_fn), params, sub,
+               jnp.int32(0))
+
     # full frame step
     frame_grads = make_frame_grads_sb(cfg, batch.level_slices, cdt)
     fg = jax.jit(frame_grads)

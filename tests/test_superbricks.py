@@ -475,3 +475,55 @@ def test_b4_convsm_vjp_matches_autodiff():
     gx_f, gw_f = jax.grad(loss(fused), argnums=(0, 1))(x, w)
     np.testing.assert_allclose(np.asarray(gx_r), np.asarray(gx_f), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gw_r), np.asarray(gw_f), rtol=1e-4, atol=1e-4)
+
+
+def test_dev_brickify_matches_host_builder():
+    """The jitted device brickify (codec geometry path) reproduces
+    build_superbrick_level integer-exactly: brick order, codes, neighbor
+    maps, voxel->(brick, slot) maps, and clean pad regions."""
+    import jax
+
+    from linr_pcgc_tpu.ops.superbricks import (
+        dev_brickify,
+        build_superbrick_level,
+    )
+    from linr_pcgc_tpu.ops.octree import np_feat_code, np_octree_down
+    from linr_pcgc_tpu.ops.coords import coord_key
+    from linr_pcgc_tpu.data import synthetic_cloud
+
+    pts = synthetic_cloud(20000, depth=8, seed=1)
+    c = np.unique(pts, axis=0)
+    key = (
+        (c[:, 0].astype(np.int64) << 42)
+        | (c[:, 1].astype(np.int64) << 21)
+        | c[:, 2].astype(np.int64)
+    )
+    c = c[np.argsort(key)]
+    parents, occ = np_octree_down(c)
+    lev = build_superbrick_level(
+        parents, occ, np_feat_code(parents), 3, side=4
+    )
+    n = len(parents)
+    nv = n + 37  # pad tail
+    coords = np.zeros((nv, 3), np.int32)
+    coords[:n] = parents
+    kk = coord_key(jnp.asarray(coords), jnp.arange(nv) < n)
+    cap = lev.n_bricks + 13
+    out = jax.jit(
+        dev_brickify, static_argnames=("brick_cap", "side")
+    )(jnp.asarray(coords), kk, 3, cap, 4)
+    assert int(out["n_bricks"]) == lev.n_bricks
+    np.testing.assert_array_equal(
+        np.asarray(out["code"])[: lev.n_bricks], lev.scale_code
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["nbr27"])[: lev.n_bricks], lev.nbr27
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["vox_brick"])[:n], lev.voxel_brick
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["vox_slot"])[:n], lev.voxel_slot
+    )
+    assert np.all(np.asarray(out["code"])[lev.n_bricks:] == -1)
+    assert np.all(np.asarray(out["nbr27"])[lev.n_bricks:] == -1)
