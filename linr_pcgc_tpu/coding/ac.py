@@ -138,6 +138,20 @@ def binary_estimate_bits(prob, bits) -> float:
     return float(_get_lib().bac_estimate_bits(_f32p(p), _u8p(b), p.shape[0]))
 
 
+# Reusable output buffer for binary_encode_batch: a fresh np.empty per
+# call costs a first-touch page fault per 4 KB of the (worst-case-sized,
+# 3n+64 per stream) buffer — measured 13 vs 48 M sym/s cold vs warm.
+# Not thread-safe; the codec drives the host coder from one thread.
+_enc_out_buf = np.zeros(0, np.uint8)
+
+
+def _enc_out(total: int) -> np.ndarray:
+    global _enc_out_buf
+    if _enc_out_buf.size < total:
+        _enc_out_buf = np.zeros(int(total * 5 // 4), np.uint8)
+    return _enc_out_buf
+
+
 def binary_encode_batch(probs: list, bits: list) -> list[bytes]:
     """Encode many independent streams with one multithreaded native call."""
     m = len(probs)
@@ -151,7 +165,7 @@ def binary_encode_batch(probs: list, bits: list) -> list[bytes]:
     bcat = np.concatenate(bs) if offsets[-1] else np.zeros(0, np.uint8)
     caps = np.array([0] + [3 * len(p) + 64 for p in ps], np.int64)
     out_offsets = np.cumsum(caps)
-    out = np.empty(int(out_offsets[-1]), np.uint8)
+    out = _enc_out(int(out_offsets[-1]))
     sizes = np.empty(m, np.int64)
     _get_lib().bac_encode_batch(
         _f32p(pcat), _u8p(bcat), _i64p(offsets), m, _u8p(out),

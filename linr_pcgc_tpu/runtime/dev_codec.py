@@ -36,6 +36,9 @@ device-derived, host touched only by the arithmetic coder.
 
 from __future__ import annotations
 
+import os
+import time
+from collections import defaultdict
 from functools import partial
 
 import numpy as np
@@ -52,9 +55,38 @@ from ..ops.superbricks import dev_brickify, unpack_bits
 B4 = 4
 B4_SLOTS = 64
 
+# Codec compute dtype.  Bit-exactness needs encoder == decoder, NOT any
+# particular precision: both sides run the SAME executables, so any
+# deterministic dtype works.  bf16 activations/matmuls are ~6x cheaper
+# than the f32-HIGHEST default on the MXU and halve the halo HBM
+# traffic; the logits/sigmoid/f16-wire stay f32-derived.  Rate impact is
+# a slightly blunter probability (measured in docs/RATE_r03.json);
+# LINR_CODEC_DTYPE=f32 restores the round-2 behavior.
+CDT = jnp.float32 if os.environ.get("LINR_CODEC_DTYPE") == "f32" else jnp.bfloat16
+
 # Frames per device call (deterministic on both sides; the level arrays
 # of a 32-frame GOP at level-0 sizes exceed HBM in one batch).
 CODEC_FRAME_CHUNK = 8
+
+
+# LINR_CODEC_PROF=1: accumulate per-phase wall time + wire bytes into
+# PROF (printed by scripts/bench_codec.py) — the tunnel/compute split the
+# round-2 verdict asked to report separately.
+PROF = defaultdict(float)
+_PROF_ON = os.environ.get("LINR_CODEC_PROF") == "1"
+
+
+class _prof:
+    def __init__(self, key):
+        self.key = key
+
+    def __enter__(self):
+        if _PROF_ON:
+            self.t0 = time.time()
+
+    def __exit__(self, *a):
+        if _PROF_ON:
+            PROF[self.key] += time.time() - self.t0
 
 
 def _frame_chunks(f: int):
@@ -138,17 +170,17 @@ def _dev_ctx(params, cfg: ModelConfig, code, nbr27, scale):
     serves every level)."""
     from ..models.sb_network import _sb_block, _sb_mlp2, _stack1
 
-    mask = (code >= 0).astype(F32)[:, None, None, :]
-    geom = dict(nbr27=nbr27, mask=mask, code=code, dtype=F32)
+    mask = (code >= 0).astype(CDT)[:, None, None, :]
+    geom = dict(nbr27=nbr27, mask=mask, code=code, dtype=CDT)
 
     bb, slots = code.shape
     feat = code & 127
     bits = jnp.stack(
-        [((feat >> k) & 1).astype(F32) for k in range(cfg.in_channel)],
+        [((feat >> k) & 1).astype(CDT) for k in range(cfg.in_channel)],
         axis=-1,
     )  # (Bb, slots, 7)
     bits = bits * mask[:, 0, 0, :, None]
-    emb = jnp.take(params["scale_emb"], scale, axis=0).astype(F32)  # (emb,)
+    emb = jnp.take(params["scale_emb"], scale, axis=0).astype(CDT)  # (emb,)
     seg = jnp.concatenate(
         [
             jnp.broadcast_to(emb[None, None, :], (bb, slots, emb.shape[0]))
@@ -200,10 +232,10 @@ def _stage_step(params, cfg: ModelConfig, occ_buf, vox_occ, code, nbr27,
         fr.reshape(-1), jv, jnp.broadcast_to(col, (f * bv,))
     ].set(bits.reshape(-1), mode="drop")
 
-    mask = (code >= 0).astype(F32)[:, None, None, :]
-    geom = dict(nbr27=nbr27, mask=mask, code=code, dtype=F32)
+    mask = (code >= 0).astype(CDT)[:, None, None, :]
+    geom = dict(nbr27=nbr27, mask=mask, code=code, dtype=CDT)
     logits = sb_chunk_logits(
-        params, cfg, geom, occ_buf.astype(F32), stage, 1, x_glob
+        params, cfg, geom, occ_buf.astype(CDT), stage, 1, x_glob
     )
     pr = jax.nn.sigmoid(logits.astype(F32))[:, 0, :].reshape(-1)
     return occ_buf, vox_occ, jnp.take(pr, sel).astype(jnp.float16)
@@ -360,6 +392,7 @@ def encode_chunk_probs_dev(params, cfg: ModelConfig, pyrs):
     )
 
     pending = []  # (s, prob handles, bits arrays, counts)
+    t_dispatch = time.time()
     for s in range(s_num - 1, -1, -1):
         bv, cap, tv = shapes.buckets(s)
         coords, keys = _resize_coords(coords, keys, bv)
@@ -397,15 +430,20 @@ def encode_chunk_probs_dev(params, cfg: ModelConfig, pyrs):
                 bucket_size(max(shapes.n_vox[s - 1])),
             )
         pending.append((s, probs_dev, stage_bits, counts))
+    PROF["enc_dispatch"] += time.time() - t_dispatch
 
     # collect (device already fully dispatched; downloads overlap compute)
     out = []
-    for s, probs_dev, stage_bits, counts in pending:
-        probs = [
-            _split_probs(np.asarray(probs_dev[stage]), counts)
-            for stage in range(cfg.outstage)
-        ]
-        out.append((s, probs, stage_bits))
+    with _prof("enc_probs_down"):
+        for s, probs_dev, stage_bits, counts in pending:
+            probs = [
+                _split_probs(np.asarray(probs_dev[stage]), counts)
+                for stage in range(cfg.outstage)
+            ]
+            PROF["enc_bytes_down"] += sum(
+                int(np.prod(p.shape)) * 2 for p in probs_dev  # f16 wire
+            )
+            out.append((s, probs, stage_bits))
     return out
 
 
@@ -427,7 +465,8 @@ def encode_gop_streams_dev(params, cfg: ModelConfig, pyramids):
                 for i in range(f):
                     flat_probs.append(probs[stage][i])
                     flat_bits.append(stage_bits[stage][i].astype(np.float32))
-            streams = binary_encode_batch(flat_probs, flat_bits)
+            with _prof("enc_ac"):
+                streams = binary_encode_batch(flat_probs, flat_bits)
             for i in range(f):
                 per_frame = [
                     streams[stage * f + i] for stage in range(cfg.outstage)
@@ -476,57 +515,69 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows):
             bv, cap, tv = shapes.buckets(s)
             coords, keys = _resize_coords(coords, keys, bv)
             counts = shapes.n_vox[s]
-            geo = _brickify_level(
-                coords, keys, jnp.asarray(counts, jnp.int32),
-                jnp.int32(s), cap, tv,
-            )
-            xg = _dev_ctx(params, cfg, geo["code"], geo["nbr27"], jnp.int32(s))
-            occ_buf, vox_occ = _zero_buffers(f, cap, bv)
+            with _prof("dec_geom"):
+                geo = _brickify_level(
+                    coords, keys, jnp.asarray(counts, jnp.int32),
+                    jnp.int32(s), cap, tv,
+                )
+                xg = _dev_ctx(
+                    params, cfg, geo["code"], geo["nbr27"], jnp.int32(s)
+                )
+                occ_buf, vox_occ = _zero_buffers(f, cap, bv)
             streams = [unpack_bitstream(frame_blobs[i][s]) for i in chunk]
             occ_host = [
                 np.zeros((counts[i], 8), np.uint8) for i in range(f)
             ]
             prev = jnp.zeros((f, bv // 8), jnp.uint8)
             for stage in range(cfg.outstage):
-                occ_buf, vox_occ, pr = _stage_step(
-                    params, cfg, occ_buf, vox_occ, geo["code"], geo["nbr27"],
-                    xg, jnp.int32(stage), prev, geo["vox_brick"],
-                    geo["vox_slot"], geo["sel"],
-                )
-                probs = _split_probs(np.asarray(pr), counts)
-                decs = binary_decode_batch(
-                    probs, [streams[i][stage] for i in range(f)]
-                )
+                with _prof("dec_dispatch"):
+                    occ_buf, vox_occ, pr = _stage_step(
+                        params, cfg, occ_buf, vox_occ, geo["code"],
+                        geo["nbr27"], xg, jnp.int32(stage), prev,
+                        geo["vox_brick"], geo["vox_slot"], geo["sel"],
+                    )
+                with _prof("dec_probs_down"):
+                    pr_h = np.asarray(pr)
+                PROF["dec_bytes_down"] += pr_h.nbytes
+                probs = _split_probs(pr_h, counts)
+                with _prof("dec_ac"):
+                    decs = binary_decode_batch(
+                        probs, [streams[i][stage] for i in range(f)]
+                    )
                 for i in range(f):
                     occ_host[i][:, stage] = decs[i]
                 if stage < cfg.outstage - 1:
-                    prev = _pack_bits_frames(decs, bv)
+                    with _prof("dec_bits_up"):
+                        prev = _pack_bits_frames(decs, bv)
+                    PROF["dec_bytes_up"] += f * (bv // 8)
             for i in range(f):
                 all_bits[i][s] = occ_host[i]
             if s > 0:
-                shapes.set_counts(
-                    s - 1, [int(occ_host[i].sum()) for i in range(f)]
-                )
-                if s - 1 == s_num - 2:
-                    shapes.set_top_coords(
-                        s - 1,
-                        [
-                            np_octree_up(base[i], occ_host[i])
-                            for i in range(f)
-                        ],
+                with _prof("dec_transition"):
+                    shapes.set_counts(
+                        s - 1, [int(occ_host[i].sum()) for i in range(f)]
                     )
-                last = _pack_bits_frames(
-                    [occ_host[i][:, 7] for i in range(f)], bv
-                )
-                coords, keys = _transition(
-                    coords, keys, vox_occ, last,
-                    bucket_size(max(shapes.n_vox[s - 1])),
-                )
+                    if s - 1 == s_num - 2:
+                        shapes.set_top_coords(
+                            s - 1,
+                            [
+                                np_octree_up(base[i], occ_host[i])
+                                for i in range(f)
+                            ],
+                        )
+                    last = _pack_bits_frames(
+                        [occ_host[i][:, 7] for i in range(f)], bv
+                    )
+                    coords, keys = _transition(
+                        coords, keys, vox_occ, last,
+                        bucket_size(max(shapes.n_vox[s - 1])),
+                    )
 
         # host reconstruction from decoded bits (no coordinate download)
-        for i in range(f):
-            cur = base[i]
-            for s in range(s_num - 1, -1, -1):
-                cur = np_octree_up(cur, all_bits[i][s])
-            out_coords[chunk[i]] = cur
+        with _prof("dec_rebuild"):
+            for i in range(f):
+                cur = base[i]
+                for s in range(s_num - 1, -1, -1):
+                    cur = np_octree_up(cur, all_bits[i][s])
+                out_coords[chunk[i]] = cur
     return out_coords

@@ -66,18 +66,24 @@ def main():
     dec_s = (time.time() - t0) / (args.runs * args.frames)
 
     points = sum(p.point_num for p in pyrs)
-    print(
-        json.dumps(
-            {
-                "enc_s_per_frame": round(enc_s, 4),
-                "dec_s_per_frame": round(dec_s, 4),
-                "enc_vs_3090": round(0.43 / enc_s, 2),
-                "dec_vs_3090": round(0.45 / dec_s, 2),
-                "bpp_untrained": round(bits / points, 3),
-                "points": points,
-            }
-        )
-    )
+    rec = {
+        "enc_s_per_frame": round(enc_s, 4),
+        "dec_s_per_frame": round(dec_s, 4),
+        "enc_vs_3090": round(0.43 / enc_s, 2),
+        "dec_vs_3090": round(0.45 / dec_s, 2),
+        "bpp_untrained": round(bits / points, 3),
+        "points": points,
+    }
+    from linr_pcgc_tpu.runtime.dev_codec import PROF
+
+    if PROF:
+        runs = args.runs + 1  # warmup included in the accumulators
+        rec["prof_per_frame"] = {
+            k: round(v / (runs * args.frames), 4) if not k.endswith("bytes_down") and not k.endswith("bytes_up")
+            else int(v / (runs * args.frames))
+            for k, v in sorted(PROF.items())
+        }
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,195 @@
+"""Loot-regime rate evidence (round-2 verdict, missing #1 / next #4,#5).
+
+The reference's committed evidence is 8iVFB loot at 0.514 bpp_all with a
+1.495 -> 0.569 bits/pt cold trajectory in 4 epochs and a warm-started
+epoch-0 loss of 0.5017 (/root/reference/loot/gop_0_31/result.json,
+gop_32_62/result.json).  No 8iVFB data exists in this environment, so
+this protocol runs the SAME multi-GOP shape on ``smooth_shell`` — a
+deterministic watertight surface whose converged entropy lands in the
+loot band (~0.5-1 bpp) — and records:
+
+  * GOP 0 cold: full bpp_all trajectory in bf16 AND f32 at equal epochs
+    (the mixed-precision rate question, verdict next #4);
+  * GOP 1 warm-started from GOP 0 (reference main.py:98-104) at
+    others_epoch << first_epoch: epoch-0 loss + converged bpp;
+  * GOP 1 cold *control* at first_epoch: how many epochs the cold run
+    needs to reach the warm run's rate -> the measured encode-time
+    reduction the reference claims (~60%, README.md:3).
+
+    python scripts/rate_loot.py --out docs/RATE_r03.json
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+
+def trajectory(result_dir: str, gop_name: str):
+    with open(os.path.join(result_dir, gop_name, "result.json")) as f:
+        results = json.load(f)
+    return [
+        {
+            "epoch": e["epoch"],
+            "loss": round(e["loss"], 6),
+            **(
+                {
+                    "bpp_all": round(e["real_bpp_all"], 6),
+                    "point_bpp": round(e["real_point_bpp"], 6),
+                    "model_bpp": round(e["model_bpp"], 6),
+                }
+                if "real_bpp_all" in e
+                else {}
+            ),
+        }
+        for e in results
+    ]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=800000)
+    ap.add_argument("--depth", type=int, default=10)
+    ap.add_argument("--gop", type=int, default=4)
+    ap.add_argument("--first_epoch", type=int, default=30)
+    ap.add_argument("--others_epoch", type=int, default=8)
+    ap.add_argument("--check_freq", type=int, default=5)
+    ap.add_argument("--dtypes", type=str, default="bf16,f32",
+                    help="GOP-0 arms (bf16-vs-f32 rate comparison)")
+    ap.add_argument("--workdir", type=str, default="/tmp/linr_rate_loot")
+    ap.add_argument("--out", type=str, default="docs/RATE_r03.json")
+    args = ap.parse_args()
+
+    from linr_pcgc_tpu.data import smooth_shell, PyramidDataset
+    from linr_pcgc_tpu.models import ModelConfig
+    from linr_pcgc_tpu.runtime import TrainConfig, overfit_gop
+
+    n_frames = 2 * args.gop
+    frames = [
+        smooth_shell(args.points, depth=args.depth, seed=3, phase=0.06 * t)
+        for t in range(n_frames)
+    ]
+    handle = os.path.join(args.workdir, "handle")
+    ds = PyramidDataset(frames, handle_dir=handle)
+    ds[0]
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    tc = TrainConfig()
+
+    report = {
+        "config": {
+            "cloud": "smooth_shell(seed=3, phase=0.06*t)",
+            "points_target": args.points,
+            "points_actual": [len(f) for f in frames],
+            "depth": args.depth,
+            "gop": args.gop,
+            "first_epoch": args.first_epoch,
+            "others_epoch": args.others_epoch,
+            "reference": {
+                "loot_bpp_all_epoch70": 0.51397,
+                "loot_cold_epoch0_to_4": [1.495, 0.569],
+                "loot_warm_epoch0_loss": 0.5017,
+                "source": "/root/reference/loot/*/result.json",
+            },
+        },
+        "runs": {},
+    }
+
+    def run(name, group, epochs, dtype, warm=None):
+        rd = os.path.join(args.workdir, f"out_{name}")
+        t0 = time.time()
+        path = overfit_gop(
+            dataset=ds,
+            group_range=group,
+            epoch_num=epochs,
+            cfg=cfg,
+            tc=tc,
+            result_dir=rd,
+            warm_start_path=warm,
+            mid_test=True,
+            check_freq=args.check_freq,
+            handle_dir=handle,
+            train_dtype=dtype,
+            mid_test_early=(warm is not None or epochs <= 10),
+        )
+        wall = time.time() - t0
+        gop_name = f"gop_{group[0]}_{group[-1]}"
+        report["runs"][name] = {
+            "dtype": dtype,
+            "epochs": epochs,
+            "warm": warm is not None,
+            "wall_s": round(wall, 1),
+            "trajectory": trajectory(rd, gop_name),
+        }
+        with open(args.out + ".partial", "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"=== {name} done ({wall:.0f}s) ===", file=sys.stderr, flush=True)
+        return path
+
+    g0 = range(0, args.gop)
+    g1 = range(args.gop, 2 * args.gop)
+
+    first_model = None
+    for dtype in args.dtypes.split(","):
+        try:
+            path = run(f"gop0_cold_{dtype}", g0, args.first_epoch, dtype)
+            if dtype == "bf16":
+                first_model = path
+        except Exception as e:  # f32 may not fit HBM at production scale
+            report["runs"][f"gop0_cold_{dtype}"] = {"error": repr(e)}
+            print(f"gop0_cold_{dtype} FAILED: {e!r}", file=sys.stderr)
+
+    run("gop1_warm_bf16", g1, args.others_epoch, "bf16", warm=first_model)
+    run("gop1_cold_bf16", g1, args.first_epoch, "bf16")
+
+    # summary: warm-start encode-time reduction at matched rate
+    runs = report["runs"]
+    try:
+        warm_traj = runs["gop1_warm_bf16"]["trajectory"]
+        cold_traj = runs["gop1_cold_bf16"]["trajectory"]
+        warm_bpp = [e["bpp_all"] for e in warm_traj if "bpp_all" in e]
+        warm_final = min(warm_bpp)
+        cold_reach = next(
+            (e["epoch"] for e in cold_traj
+             if e.get("bpp_all", 9e9) <= warm_final),
+            None,
+        )
+        s = {
+            "gop1_warm_epoch0_loss": warm_traj[0]["loss"],
+            "gop0_converged_loss": runs["gop0_cold_bf16"]["trajectory"][-1]["loss"],
+            "gop1_warm_final_bpp": warm_final,
+            "gop1_cold_epochs_to_match": cold_reach,
+            "warm_epochs": args.others_epoch,
+        }
+        if cold_reach:
+            s["encode_time_reduction"] = round(
+                1.0 - args.others_epoch / cold_reach, 3
+            )
+        b = runs.get("gop0_cold_bf16", {}).get("trajectory", [])
+        f_ = runs.get("gop0_cold_f32", {}).get("trajectory", [])
+        bb = [e["bpp_all"] for e in b if "bpp_all" in e]
+        ff = [e["bpp_all"] for e in f_ if "bpp_all" in e]
+        if bb and ff:
+            s["bf16_final_bpp"] = bb[-1]
+            s["f32_final_bpp"] = ff[-1]
+            s["bf16_vs_f32_bpp_pct"] = round(
+                100.0 * (bb[-1] - ff[-1]) / ff[-1], 3
+            )
+        report["summary"] = s
+    except Exception as e:
+        report["summary"] = {"error": repr(e)}
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report.get("summary", {})))
+
+
+if __name__ == "__main__":
+    main()

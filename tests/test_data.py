@@ -9,11 +9,37 @@ from linr_pcgc_tpu.data import (
     read_ply,
     write_ply_ascii,
     write_ply_binary,
+    smooth_shell,
     synthetic_cloud,
     build_pyramid,
     PyramidDataset,
     bucket_size,
 )
+
+
+def test_smooth_shell_loot_regime():
+    """The loot-regime generator: a deterministic, unique, in-bounds,
+    THIN smooth shell (the rate-evidence input; docs/RATE_r03.json)."""
+    a = smooth_shell(30_000, depth=8, seed=3, phase=0.0)
+    assert a.dtype == np.int32
+    assert a.min() >= 0 and a.max() < (1 << 8)
+    # unique rows
+    key = (a[:, 0].astype(np.int64) << 16) | (a[:, 1].astype(np.int64) << 8) | a[:, 2]
+    assert len(np.unique(key)) == len(a)
+    # lands near the target count (area calibration)
+    assert 0.6 * 30_000 < len(a) < 1.6 * 30_000
+    # smooth + thin: high mean children-per-parent (noisy clouds sit ~2.5)
+    par = a // 2
+    pk = (par[:, 0].astype(np.int64) << 16) | (par[:, 1].astype(np.int64) << 8) | par[:, 2]
+    _, cnt = np.unique(pk, return_counts=True)
+    assert cnt.mean() > 3.0
+    # deterministic
+    b = smooth_shell(30_000, depth=8, seed=3, phase=0.0)
+    assert np.array_equal(a, b)
+    # temporal coherence between adjacent phases
+    c = smooth_shell(30_000, depth=8, seed=3, phase=0.06)
+    ck = (c[:, 0].astype(np.int64) << 16) | (c[:, 1].astype(np.int64) << 8) | c[:, 2]
+    assert np.isin(key, ck).mean() > 0.3
 from linr_pcgc_tpu.data.dataset import save_pyramid, load_pyramid
 
 
