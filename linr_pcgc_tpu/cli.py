@@ -67,7 +67,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--block_type", type=str, default="inception",
                    choices=["inception", "resnet", "dilation"],
                    help="residual core inside blocks (resnet.py:146-162); "
-                        "'dilation' is rejected loudly")
+                        "'dilation' (DilatedResNet) runs on the gather "
+                        "backend")
     p.add_argument("--model_bitdepth", type=int, default=8)
     p.add_argument("--overfit", type=str, default="False")
     p.add_argument("--mid_test", type=str, default="False")

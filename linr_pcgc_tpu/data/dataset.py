@@ -106,20 +106,24 @@ def _feat_step(coords, keys):
     return neighbor_feature_code(coords, keys)
 
 
-@partial(jax.jit, static_argnames=("kernel_size",))
-def _nbr_step(coords, keys, kernel_size: int = 3):
-    return neighbor_map(coords, keys, kernel_size)
+@partial(jax.jit, static_argnames=("kernel_size", "dilation"))
+def _nbr_step(coords, keys, kernel_size: int = 3, dilation: int = 1):
+    return neighbor_map(coords, keys, kernel_size, dilation)
 
 
-def level_arrays_from_coords(coords_np: np.ndarray, n: int, kernel_size: int = 3):
+def level_arrays_from_coords(coords_np: np.ndarray, n: int, kernel_size: int = 3,
+                             dilations: tuple[int, ...] = (1,)):
     """Device prep for a level given its (padded, sorted) coords: keys,
     neighbor feature code, k^3-neighbor map.  Shared by preprocessing and
-    the decoder."""
+    the decoder.  ``dilations`` > (1,) stacks per-dilation maps along the
+    K axis (DilatedResNet configs, cf. ModelConfig.n_nbr_maps)."""
     coords = jnp.asarray(coords_np)
     valid = jnp.arange(coords.shape[0]) < n
     keys = coord_key(coords, valid)
     code = _feat_step(coords, keys)
-    nbr = _nbr_step(coords, keys, kernel_size)
+    nbr = jnp.concatenate(
+        [_nbr_step(coords, keys, kernel_size, d) for d in dilations], axis=1
+    )
     return coords, keys, code, nbr
 
 

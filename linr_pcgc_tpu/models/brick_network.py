@@ -293,6 +293,11 @@ def _bblock_core(y, geom, p):
         return _birn(y, geom, p["irn"])
     out = y
     for lp in p["core"]:
+        if "dc0" in lp:
+            raise NotImplementedError(
+                "DilatedResNet runs on the gather backend only "
+                "(cf. models/sb_network._sb_block_core)"
+            )
         out = _birn(out, geom, lp) if "c00" in lp else _bresnet(out, geom, lp)
     if len(p["core"]) > 1:
         out = out + y

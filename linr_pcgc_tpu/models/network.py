@@ -71,9 +71,11 @@ class ModelConfig:
     kernel_size: int = 3  # model_core2 variant: plumb k through every block
     # Residual-core type inside blocks (resnet.py:146-162 ResNetBlock).
     # The reference CLI can only ever produce 'inception' (CNP never passes
-    # block_type); 'resnet' is supported here as the class exists upstream
-    # (resnet.py:63-94).  'dilation' (resnet.py:97-143) is rejected
-    # explicitly rather than silently misconfigured.
+    # block_type); 'resnet' (resnet.py:63-94) and 'dilation'
+    # (DilatedResNet, resnet.py:97-143) are supported because the classes
+    # exist upstream.  'dilation' runs on the flat gather backend only
+    # (its d=2 convs need a second neighbor map the brick layouts don't
+    # carry); backend selection falls back automatically.
     block_type: str = "inception"
 
     def __post_init__(self):
@@ -90,14 +92,16 @@ class ModelConfig:
                 "(one octant bit per stage, reference get_stage_lst, "
                 "upsample.py:24-35) is implemented"
             )
-        if self.block_type == "dilation":
-            raise NotImplementedError(
-                "block_type='dilation' (DilatedResNet, reference "
-                "resnet.py:97-143) is not implemented; use 'inception' or "
-                "'resnet'"
-            )
-        if self.block_type not in ("inception", "resnet"):
+        if self.block_type not in ("inception", "resnet", "dilation"):
             raise ValueError(f"unknown block_type {self.block_type!r}")
+
+    @property
+    def dilations(self) -> tuple:
+        """Dilations whose neighbor maps the model's convs gather over;
+        callers stack the maps along the K axis of ``idx_t``
+        ((D*kvol, N), dilation-1 first — _conv3 slices by kernel
+        volume, _dilated_core picks its own blocks)."""
+        return DILATION_LIST if self.block_type == "dilation" else (1,)
 
     @property
     def ch(self) -> int:
@@ -154,6 +158,27 @@ def _resnet_init(key, ch, kvol=27):
     }
 
 
+# DilatedResNet's dilation_list (resnet.py:102): [1,2,3,5,7,11][:dilation]
+# with dilation=2 always — ResNetBlock (resnet.py:146-153) constructs the
+# core as Net(channels, kernel_size, dimension) and never passes dilation.
+DILATION_LIST = (1, 2)
+
+
+def _dilated_init(key, ch, kvol=27):
+    """DilatedResNet (resnet.py:97-143): two banks of per-dilation k^3
+    convs, each concatenated then mixed by a 1x1; residual add."""
+    nd = len(DILATION_LIST)
+    ks = jax.random.split(key, 2 * nd + 2)
+    return {
+        "dc0": tuple(_conv_init(ks[i], kvol, ch, ch) for i in range(nd)),
+        "dl0": _conv_init(ks[nd], 1, ch * nd, ch),
+        "dc1": tuple(
+            _conv_init(ks[nd + 1 + i], kvol, ch, ch) for i in range(nd)
+        ),
+        "dl1": _conv_init(ks[2 * nd + 1], 1, ch * nd, ch),
+    }
+
+
 def _block_init(key, cin, ch, cout, kvol=27, layers=1, block_type="inception"):
     """make_block (upsample.py:88-97): conv -> relu -> ResNetBlock -> conv.
 
@@ -163,7 +188,11 @@ def _block_init(key, cin, ch, cout, kvol=27, layers=1, block_type="inception"):
     bitstream's flattening order for the default config); the general case
     stores the stack under "core"."""
     k0, k1, k2 = jax.random.split(key, 3)
-    core_init = _irn_init if block_type == "inception" else _resnet_init
+    core_init = {
+        "inception": _irn_init,
+        "resnet": _resnet_init,
+        "dilation": _dilated_init,
+    }[block_type]
     if layers == 1 and block_type == "inception":
         core = {"irn": _irn_init(k1, ch, kvol)}
     else:
@@ -347,12 +376,16 @@ _conv3_op.defvjp(_conv3_op_fwd, _conv3_op_bwd)
 def _conv3(x, idx_t, p):
     """k^3 submanifold conv, feature-major.
 
-    x: (Cin, N); idx_t: (K, N) neighbor map (-1 = absent -> zeros);
+    x: (Cin, N); idx_t: (K', N) neighbor map (-1 = absent -> zeros);
     p["w"]: (K, Cin, Cout).  One gather + one dot_general contracting
     (K, Cin) jointly; output (Cout, N).  Custom VJP keeps the backward
     pass scatter-free (see _conv3_op_bwd).
+
+    K' may exceed K: dilated configs stack per-dilation maps along the
+    K axis ((D*kvol, N), cfg.n_nbr_maps), and each conv reads only its
+    own kvol rows — plain convs the leading dilation-1 block.
     """
-    return _conv3_op(x, p["w"], idx_t) + p["b"][:, None]
+    return _conv3_op(x, p["w"], idx_t[: p["w"].shape[0]]) + p["b"][:, None]
 
 
 def _irn(x, idx_t, p):
@@ -366,6 +399,25 @@ def _resnet_core(x, idx_t, p):
     return x + _conv3(_relu(_conv3(x, idx_t, p["r0"])), idx_t, p["r1"])
 
 
+def _dilated_core(x, idx_t, p):
+    """DilatedResNet forward (resnet.py:136-143): per-dilation conv banks,
+    channel-concat, 1x1 mix; twice; residual add.  ``idx_t`` carries the
+    stacked per-dilation maps ((D*kvol, N), dilation order DILATION_LIST);
+    each bank conv gets exactly its own kvol rows (the scatter-free VJP's
+    offset antisymmetry holds per dilation: offsets*d flips sign with k
+    exactly like offsets)."""
+    kvol = p["dc0"][0]["w"].shape[0]
+    maps = [idx_t[i * kvol: (i + 1) * kvol] for i in range(len(p["dc0"]))]
+    out = jnp.concatenate(
+        [_conv3(x, m, c) for m, c in zip(maps, p["dc0"])], axis=0
+    )
+    out = _relu(_conv1(out, p["dl0"]))
+    out = jnp.concatenate(
+        [_conv3(out, m, c) for m, c in zip(maps, p["dc1"])], axis=0
+    )
+    return _conv1(out, p["dl1"]) + x
+
+
 def _block_core(y, idx_t, p):
     """ResNetBlock (resnet.py:146-162): ``core`` layers stacked, extra
     outer skip when >1.  Layer kind is dispatched on the parameter keys
@@ -374,7 +426,12 @@ def _block_core(y, idx_t, p):
         return _irn(y, idx_t, p["irn"])
     out = y
     for lp in p["core"]:
-        out = _irn(out, idx_t, lp) if "c00" in lp else _resnet_core(out, idx_t, lp)
+        if "c00" in lp:
+            out = _irn(out, idx_t, lp)
+        elif "dc0" in lp:
+            out = _dilated_core(out, idx_t, lp)
+        else:
+            out = _resnet_core(out, idx_t, lp)
     if len(p["core"]) > 1:
         out = out + y
     return out

@@ -125,11 +125,13 @@ def b4conv3_sm(x, geom, w, b):
     bb, s, vc = x.shape
     o = w.shape[-1]
     y = b4_convsm(x.astype(dt), w, geom["nbr27"])
-    y4 = y.reshape(bb, s, B4_SLOTS, o) + b[None, :, None, :]
-    y4 = y4 * geom["mask"][:, 0, 0, :][:, None, :, None]
-    return checkpoint_name(
-        y4.reshape(bb, s, B4_SLOTS * o).astype(dt), ACT
-    )
+    # bias + mask in the FLAT layout: a (Bb, S, 64, O<=24) view pays the
+    # 128-lane tile pad at materialization (docs/DESIGN.md layout laws);
+    # tiling b over slots / repeating the slot mask over channels keeps
+    # every elementwise op at minor dim 64*O.
+    y = y + jnp.tile(b, (1, B4_SLOTS))[None].astype(dt)
+    y = y * _mask_flat(geom, o)
+    return checkpoint_name(y.astype(dt), ACT)
 
 
 def sbconv3(x, geom, w, b):
@@ -182,20 +184,42 @@ def sbconv3(x, geom, w, b):
     return checkpoint_name(y.astype(dt), ACT)
 
 
+def _mask_flat(geom, o: int):
+    """Slot mask repeated over ``o`` channel-minor lanes: (Bb, 1, 64*o).
+    Computed per call (NOT cached on the geom dict: geom leaves are
+    tracers under jit, and a cross-trace cache leaks them); identical
+    repeats within one executable are CSE'd by XLA."""
+    m = geom["mask"][:, 0, 0, :]  # (Bb, 64)
+    return jnp.repeat(m, o, axis=-1)[:, None, :]
+
+
 def sbconv1(x, geom, w, b):
     """Stage-batched 1^3 conv: x (Bb, S, C, slots) channel-major or
-    (Bb, S, slots*C) slot-major; w (S, C, O), b (S, O)."""
+    (Bb, S, slots*C) slot-major; w (S, C, O), b (S, O).
+
+    Slot-major runs as ONE (64C -> 64O) matmul with a block-diagonal
+    weight (64 copies of w on the diagonal): the direct
+    "bsvc,sco->bsvo" einsum is a K=C<=24, N=O<=24 matmul over a
+    (.., 64, C) view — both MXU-hostile (128-lane tile pad on the view,
+    ~6% systolic utilization at K=8).  The block-diagonal form wastes
+    64x the FLOPs (still ~1 ms at group shapes) but streams flat
+    (Bb, S, 64C) operands straight through the MXU and emits the next
+    conv's input layout with no relayout."""
     dt = geom["dtype"]
     if x.ndim == 3:
         bb, s, vc = x.shape
         c, o = w.shape[-2], w.shape[-1]
-        xv = x.astype(dt).reshape(bb, s, B4_SLOTS, c)
+        eye = jnp.eye(B4_SLOTS, dtype=dt)
+        wbd = (
+            eye[None, :, None, :, None] * w.astype(dt)[:, None, :, None, :]
+        ).reshape(w.shape[0], B4_SLOTS * c, B4_SLOTS * o)
         y = jnp.einsum(
-            "bsvc,sco->bsvo", xv, w.astype(dt),
+            "bsk,skn->bsn", x.astype(dt), wbd,
             precision=_prec(dt), preferred_element_type=_acc(dt),
         )
-        y = (y + b[None, :, None, :]) * geom["mask"][:, 0, 0, :][:, None, :, None]
-        return y.astype(dt).reshape(bb, s, B4_SLOTS * o)
+        y = y + jnp.tile(b, (1, B4_SLOTS))[None].astype(dt)
+        y = y * _mask_flat(geom, o)
+        return y.astype(dt)
     y = jnp.einsum(
         "bscv,sco->bsov", x.astype(dt), w.astype(dt),
         precision=_prec(dt), preferred_element_type=_acc(dt),
@@ -280,6 +304,13 @@ def _sb_block_core(y, geom, p):
         return _sb_irn(y, geom, p["irn"])
     out = y
     for lp in p["core"]:
+        if "dc0" in lp:
+            raise NotImplementedError(
+                "DilatedResNet runs on the gather backend only (its d=2 "
+                "convs need a second neighbor map the brick layout does "
+                "not carry); backend selection should not have routed a "
+                "block_type='dilation' model here"
+            )
         out = _sb_irn(out, geom, lp) if "c00" in lp else _sb_resnet(out, geom, lp)
     if len(p["core"]) > 1:
         out = out + y

@@ -230,16 +230,19 @@ def neighbor_feature_code(coords: jax.Array, keys: jax.Array) -> jax.Array:
     return jnp.sum(found.astype(jnp.int32) * bits[None, :], axis=1)
 
 
-def neighbor_map(coords: jax.Array, keys: jax.Array, kernel_size: int = 3) -> jax.Array:
+def neighbor_map(coords: jax.Array, keys: jax.Array, kernel_size: int = 3,
+                 dilation: int = 1) -> jax.Array:
     """(N, k^3) int32 gather map for k^3 submanifold convolutions.
 
-    Entry [i, o] is the row index of ``coords[i] + conv_offsets(k)[o]`` in
-    ``coords``, or -1 if that voxel is absent.  Pad rows map to all -1.
+    Entry [i, o] is the row index of ``coords[i] + d*conv_offsets(k)[o]``
+    in ``coords``, or -1 if that voxel is absent.  Pad rows map to all -1.
+    ``dilation`` scales the offsets (MinkowskiConvolution dilation
+    semantics, used by DilatedResNet, reference resnet.py:97-143).
     """
     n = coords.shape[0]
     kvol = kernel_size**3
     valid = keys != KEY_PAD
-    offsets = jnp.asarray(conv_offsets(kernel_size))  # (kvol, 3)
+    offsets = jnp.asarray(conv_offsets(kernel_size) * dilation)  # (kvol, 3)
     q = coords[:, None, :] + offsets[None, :, :]  # (N, kvol, 3)
     qkey = coord_key(q.reshape(-1, 3), jnp.repeat(valid, kvol)).reshape(n, kvol)
     return lookup(keys, qkey)

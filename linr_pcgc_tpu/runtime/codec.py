@@ -97,15 +97,20 @@ def decode_low_all_frames(blob: bytes):
 # ------------------------------------------------- batched level kernels --
 
 
-@partial(jax.jit, static_argnames=("kernel_size",))
-def _prep_levels(coords, n_valid, kernel_size: int = 3):
+@partial(jax.jit, static_argnames=("kernel_size", "dilations"))
+def _prep_levels(coords, n_valid, kernel_size: int = 3,
+                 dilations: tuple = (1,)):
     """(F, B, 3) coords + (F,) counts -> keys, feature codes, neighbor
-    maps, all per frame."""
+    maps, all per frame.  ``dilations`` > (1,) stacks per-dilation maps
+    along K (DilatedResNet configs, cf. ModelConfig.dilations)."""
 
     def one(c, n):
         valid = jnp.arange(c.shape[0]) < n
         keys = coord_key(c, valid)
-        nbr_t = neighbor_map(c, keys, kernel_size).T  # (K, B) feature-major
+        nbr_t = jnp.concatenate(
+            [neighbor_map(c, keys, kernel_size, d).T for d in dilations],
+            axis=0,
+        )  # (D*K, B) feature-major
         return keys, neighbor_feature_code(c, keys), nbr_t
 
     return jax.vmap(one)(coords, n_valid)
@@ -152,12 +157,17 @@ def _pad_level_coords(level_coords: list[np.ndarray], ns: list[int]):
 
 def _use_sb(cfg: ModelConfig) -> bool:
     """The superbrick codec path covers the default architecture; other
-    kernel sizes run the flat gather path.  Encode and decode dispatch on
-    the same predicate, so a bitstream is always decoded by the backend
-    that produced it (the f32 probability bits are backend-specific — the
-    same same-numerics constraint the reference has between its CUDA
-    encoder and decoder)."""
-    return cfg.kernel_size == 3 and cfg.outstage == 8
+    kernel sizes — and DilatedResNet, whose d=2 convs need a second
+    neighbor map the brick layouts don't carry — run the flat gather
+    path.  Encode and decode dispatch on the same predicate, so a
+    bitstream is always decoded by the backend that produced it (the f32
+    probability bits are backend-specific — the same same-numerics
+    constraint the reference has between its CUDA encoder and decoder)."""
+    return (
+        cfg.kernel_size == 3
+        and cfg.outstage == 8
+        and cfg.block_type != "dilation"
+    )
 
 
 def encode_gop_streams(params, cfg: ModelConfig, pyramids: list[FramePyramid]):
@@ -216,7 +226,7 @@ def encode_gop_streams_gather(params, cfg: ModelConfig, pyramids):
         coords_np, b = _pad_level_coords([p.levels[s].coords for p in pyramids], ns)
         coords = jnp.asarray(coords_np)
         n_dev = jnp.asarray(ns, jnp.int32)
-        keys, code, nbr = _prep_levels(coords, n_dev, cfg.kernel_size)
+        keys, code, nbr = _prep_levels(coords, n_dev, cfg.kernel_size, cfg.dilations)
         x_glob = _context_batched(params, cfg, jnp.int32(s), code, nbr)
         occ_np = np.zeros((f, b, 8), np.float32)
         for i, p in enumerate(pyramids):
@@ -304,7 +314,7 @@ def decode_gop_streams_gather(params, cfg: ModelConfig, frame_blobs, lows):
     for s in range(s_num - 1, -1, -1):
         coords = jnp.asarray(cur_np)
         n_dev = jnp.asarray(ns, jnp.int32)
-        keys, code, nbr = _prep_levels(coords, n_dev, cfg.kernel_size)
+        keys, code, nbr = _prep_levels(coords, n_dev, cfg.kernel_size, cfg.dilations)
         x_glob = _context_batched(params, cfg, jnp.int32(s), code, nbr)
         streams = [unpack_bitstream(frame_blobs[i][s]) for i in range(f)]
         occ7 = jnp.zeros((f, cfg.outstage - 1, coords.shape[1]), F32)

@@ -70,7 +70,7 @@ def _gop_probs_and_bits(params, cfg: ModelConfig, pyramids):
         ns = [p.levels[s].n for p in pyramids]
         coords_np, b = _pad_level_coords([p.levels[s].coords for p in pyramids], ns)
         coords = jnp.asarray(coords_np)
-        keys, code, nbr = _prep_levels(coords, jnp.asarray(ns, jnp.int32), cfg.kernel_size)
+        keys, code, nbr = _prep_levels(coords, jnp.asarray(ns, jnp.int32), cfg.kernel_size, cfg.dilations)
         x_glob = _context_batched(params, cfg, jnp.int32(s), code, nbr)
         occ_np = np.zeros((f, b, 8), np.float32)
         for i, p in enumerate(pyramids):

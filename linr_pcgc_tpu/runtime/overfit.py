@@ -86,9 +86,12 @@ class GopBatch:
         )
 
 
-def assemble_gop(pyramids: list[FramePyramid], kernel_size: int = 3) -> GopBatch:
+def assemble_gop(pyramids: list[FramePyramid], kernel_size: int = 3,
+                 dilations: tuple[int, ...] = (1,)) -> GopBatch:
     """Pad every frame's levels to shared buckets and build the flat,
-    stacked training batch (neighbor maps are rebuilt on device)."""
+    stacked training batch (neighbor maps are rebuilt on device).
+    ``dilations`` > (1,) stacks per-dilation maps along K (DilatedResNet,
+    cf. ModelConfig.dilations)."""
     S = pyramids[0].scale_num
     assert all(p.scale_num == S for p in pyramids), "frames disagree on scale_num"
     level_buckets = [
@@ -109,7 +112,9 @@ def assemble_gop(pyramids: list[FramePyramid], kernel_size: int = 3) -> GopBatch
             coords = np.zeros((b, 3), np.int32)
             coords[: lev.n] = lev.coords[: lev.n]
             with _geom_scope():
-                _, _, _, nbr = level_arrays_from_coords(coords, lev.n, kernel_size)
+                _, _, _, nbr = level_arrays_from_coords(
+                    coords, lev.n, kernel_size, dilations
+                )
                 # transposed (K, B) with int32 flat-global offsets (keep
                 # int32: a numpy int64 offset would promote the whole map)
                 nbr_t = np.asarray(
@@ -362,12 +367,17 @@ def overfit_gop(
         # network).  Default: STAGE-PARALLEL (exact sequential semantics,
         # parallel/train.make_epoch_fn_sb_sp); frame-DP remains available
         # explicitly (backend='sb_dp') but trades rate for wall-clock.
-        if cfg.kernel_size == 3 and backend in ("auto", "sb", "sb_sp"):
+        sb_ok = cfg.kernel_size == 3 and cfg.block_type != "dilation"
+        if sb_ok and backend in ("auto", "sb", "sb_sp"):
             backend = "sb_sp" if cfg.outstage % devices == 0 else "sb_dp"
         elif backend not in ("sb_dp",):
             backend = "dp"
     elif backend == "auto":
-        backend = "sb" if cfg.kernel_size == 3 else "gather"
+        backend = (
+            "sb"
+            if cfg.kernel_size == 3 and cfg.block_type != "dilation"
+            else "gather"
+        )
     if backend == "sb_sp":
         # stage-parallel over a 1-D mesh: each chip owns outstage/D
         # stages of every level group; unit gradients psum over ICI;
@@ -404,7 +414,7 @@ def overfit_gop(
         from ..parallel import make_mesh, make_epoch_fn_dp, shard_gop
 
         mesh = make_mesh(devices)
-        batch = assemble_gop(pyramids, cfg.kernel_size)
+        batch = assemble_gop(pyramids, cfg.kernel_size, cfg.dilations)
         arrays = shard_gop(batch, mesh)
         epoch_fn = make_epoch_fn_dp(cfg, dp_train_config(tc, devices), mesh)
     elif backend == "sb":
@@ -426,7 +436,7 @@ def overfit_gop(
             compute_dtype=jnp.bfloat16 if train_dtype == "bf16" else jnp.float32,
         )
     else:
-        batch = assemble_gop(pyramids, cfg.kernel_size)
+        batch = assemble_gop(pyramids, cfg.kernel_size, cfg.dilations)
         arrays = batch_arrays(batch)
         epoch_fn = make_epoch_fn(cfg, tc)
 

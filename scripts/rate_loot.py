@@ -65,6 +65,10 @@ def main():
                     help="GOP-0 arms (bf16-vs-f32 rate comparison)")
     ap.add_argument("--workdir", type=str, default="/tmp/linr_rate_loot")
     ap.add_argument("--out", type=str, default="docs/RATE_r03.json")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip arms already present in <out>.partial "
+                         "(tunnel hiccups kill multi-hour runs; arms are "
+                         "independent, so completed ones are reusable)")
     args = ap.parse_args()
 
     from linr_pcgc_tpu.data import smooth_shell, PyramidDataset
@@ -100,9 +104,17 @@ def main():
         },
         "runs": {},
     }
+    if args.resume and os.path.exists(args.out + ".partial"):
+        with open(args.out + ".partial") as f:
+            report["runs"] = json.load(f)["runs"]
+        print(f"resuming; have {sorted(report['runs'])}", file=sys.stderr)
 
     def run(name, group, epochs, dtype, warm=None):
         rd = os.path.join(args.workdir, f"out_{name}")
+        if name in report["runs"] and "error" not in report["runs"][name]:
+            print(f"=== {name} skipped (resume) ===", file=sys.stderr)
+            ckpt = os.path.join(rd, f"gop_{group[0]}_{group[-1]}", "model.npz")
+            return ckpt if os.path.exists(ckpt) else None
         t0 = time.time()
         path = overfit_gop(
             dataset=ds,

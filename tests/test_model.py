@@ -66,11 +66,19 @@ def test_block_layers_param_counts():
     assert param_count(pr) == 54712 - 1796 + 2 * 1736
 
 
+def test_dilated_param_count():
+    """block_type='dilation' builds the reference DilatedResNet
+    (resnet.py:97-143) in block_in: dilation_list [1,2] (ResNetBlock never
+    passes dilation, so the class default 2 always applies), two banks of
+    two 27-point convs (4 x 1736 at ch=8) plus two 1x1 mixers
+    (2 x (16*8+8))."""
+    pd = init_params(jax.random.PRNGKey(0), ModelConfig(block_type="dilation"))
+    assert param_count(pd) == 54712 - 1796 + 4 * 1736 + 2 * 136
+
+
 def test_unsupported_config_rejected():
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        ModelConfig(block_type="dilation")
     with pytest.raises(ValueError):
         ModelConfig(block_type="bogus")
     with pytest.raises(ValueError):
@@ -114,6 +122,65 @@ def test_conv3_matches_dense_reference():
         np.testing.assert_allclose(y_t[:, i], acc, rtol=2e-5, atol=2e-5)
 
 
+def test_dilated_core_matches_dense_reference():
+    """_dilated_core (DilatedResNet, resnet.py:136-143) against a dense
+    brute-force evaluation with offsets scaled per dilation; also checks
+    the scatter-free conv VJP on the d=2 map (the offset antisymmetry the
+    backward relies on holds for any uniformly scaled offset table)."""
+    from linr_pcgc_tpu.models.network import (
+        DILATION_LIST, _dilated_core, _dilated_init, _conv3_op, _conv3_apply,
+    )
+    from linr_pcgc_tpu.ops import neighbor_map
+
+    rng = np.random.default_rng(5)
+    coords, keys, _, _, _, valid, n = make_level(rng, 80, pad_extra=4)
+    maps = [
+        neighbor_map(coords, keys, 3, d).T for d in DILATION_LIST
+    ]
+    idx_full = jnp.concatenate(maps, axis=0)  # (2*27, N)
+    ch = 4
+    x = rng.normal(size=(coords.shape[0], ch)).astype(np.float32)
+    x[~np.asarray(valid)] = 0
+    p = _dilated_init(jax.random.PRNGKey(3), ch)
+    y = np.asarray(_dilated_core(jnp.asarray(x.T), idx_full, p))  # (ch, N)
+
+    # dense reference
+    cnp = np.asarray(coords)
+    index = {tuple(c): i for i, c in enumerate(map(tuple, cnp[:n]))}
+
+    def dense_conv(xin, conv, d):
+        out = np.zeros((len(cnp), conv["b"].shape[0]), np.float32)
+        w = np.asarray(conv["w"])
+        for i in range(n):
+            acc = np.asarray(conv["b"]).copy()
+            for o, off in enumerate(CONV_OFFSETS_27):
+                j = index.get(tuple(cnp[i] + d * off))
+                if j is not None:
+                    acc = acc + xin[j] @ w[o]
+            out[i] = acc
+        return out
+
+    h = np.concatenate(
+        [dense_conv(x, c, d) for c, d in zip(p["dc0"], DILATION_LIST)], axis=1
+    )
+    h = np.maximum(h @ np.asarray(p["dl0"]["w"]) + np.asarray(p["dl0"]["b"]), 0)
+    h[~np.asarray(valid)] = 0  # pad rows: all-absent maps gathered zeros
+    g = np.concatenate(
+        [dense_conv(h, c, d) for c, d in zip(p["dc1"], DILATION_LIST)], axis=1
+    )
+    ref = g @ np.asarray(p["dl1"]["w"]) + np.asarray(p["dl1"]["b"]) + x
+    np.testing.assert_allclose(y.T[:n], ref[:n], rtol=2e-4, atol=2e-4)
+
+    # custom-VJP gradient on the d=2 map == autodiff of the plain apply
+    w2 = p["dc0"][1]["w"]
+    f_custom = lambda xx, ww: jnp.sum(jnp.sin(_conv3_op(xx, ww, maps[1])))
+    f_plain = lambda xx, ww: jnp.sum(jnp.sin(_conv3_apply(xx, ww, maps[1])))
+    gx_c, gw_c = jax.grad(f_custom, argnums=(0, 1))(jnp.asarray(x.T), w2)
+    gx_p, gw_p = jax.grad(f_plain, argnums=(0, 1))(jnp.asarray(x.T), w2)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_p), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_p), rtol=1e-4, atol=1e-5)
+
+
 def test_forward_shapes_and_loss():
     rng = np.random.default_rng(3)
     coords, keys, nbr, code, occ, valid, n = make_level(rng, 200)
@@ -126,6 +193,30 @@ def test_forward_shapes_and_loss():
     # untrained model ~ 1 bit per symbol: 8 symbols per valid node
     per_sym = float(bits) / (8 * n)
     assert 0.3 < per_sym < 3.0, per_sym
+
+
+def test_dilated_forward_and_grad():
+    """The dilated config trains through the gather backend: stacked
+    (2*27, N) maps thread the whole forward, and the loss gradient is
+    finite and nonzero on every dilated-core leaf."""
+    from linr_pcgc_tpu.ops import neighbor_map
+
+    cfg = ModelConfig(block_type="dilation")
+    rng = np.random.default_rng(6)
+    coords, keys, _, code, occ, valid, n = make_level(rng, 200)
+    nbr = jnp.concatenate(
+        [neighbor_map(coords, keys, 3, d).T for d in cfg.dilations], axis=0
+    )
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    scale_id = jnp.zeros(coords.shape[0], jnp.int32)
+    bits, grads = jax.value_and_grad(
+        lambda p: training_bits(p, cfg, scale_id, code, nbr, occ, valid)
+    )(params)
+    assert np.isfinite(float(bits))
+    core = grads["block_in"]["core"][0]
+    for leaf in jax.tree_util.tree_leaves(core):
+        a = np.asarray(leaf)
+        assert np.all(np.isfinite(a)) and np.any(a != 0)
 
 
 def test_loss_ignores_padding():

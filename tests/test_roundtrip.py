@@ -373,6 +373,30 @@ def test_standalone_decode_resnet_block_type(tmp_path):
     np.testing.assert_array_equal(decoded[0], np.unique(frames[0], axis=0))
 
 
+def test_standalone_decode_dilation_block_type(tmp_path):
+    """block_type='dilation' (DilatedResNet, resnet.py:97-143) end to end:
+    the codec must route to the gather backend (the brick layouts carry no
+    d=2 neighbor map), the side info must reconstruct the dilated network,
+    and decode must be lossless."""
+    from linr_pcgc_tpu.runtime.codec import (
+        cfg_side_info, cfg_from_side_info, _use_sb,
+    )
+
+    cfg = ModelConfig(scale_num=4, block_type="dilation")
+    assert not _use_sb(cfg)
+    assert cfg_from_side_info({"model_cfg": cfg_side_info(cfg)}) == cfg
+
+    ds, frames = small_dataset(1, n_pts=900)
+    cfg = ModelConfig(scale_num=ds.scale_num, block_type="dilation")
+    params = init_params(jax.random.PRNGKey(9), cfg)
+    model_path = str(tmp_path / "model.npz")
+    save_checkpoint(model_path, params, adam_init(params), 0.01, 0, 1.0, 8)
+    enc_dir = str(tmp_path / "enc" / "gop_0_0")
+    encode_gop(model_path, [ds[0]], enc_dir, cfg)
+    decoded = decode_gop(enc_dir, None, cfg=None)
+    np.testing.assert_array_equal(decoded[0], np.unique(frames[0], axis=0))
+
+
 def test_outstage_rejected_loudly():
     """Non-default stage groupings (reference get_stage_lst supports
     8/4/3/2/1) are not representable here and must raise, not silently
