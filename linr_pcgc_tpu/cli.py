@@ -69,6 +69,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="residual core inside blocks (resnet.py:146-162); "
                         "'dilation' (DilatedResNet) runs on the gather "
                         "backend")
+    p.add_argument("--outstage", type=int, default=8,
+                   choices=[8, 4, 3, 2, 1],
+                   help="octant-bit stage grouping (get_stage_lst, "
+                        "upsample.py:24-35); non-default groupings run on "
+                        "the gather backend (the reference hardcodes 8, "
+                        "main.py:97)")
+    p.add_argument("--instage", type=int, default=1,
+                   help="parent spatial grouping; only 1 (the value the "
+                        "reference ever constructs) is implemented")
     p.add_argument("--model_bitdepth", type=int, default=8)
     p.add_argument("--overfit", type=str, default="False")
     p.add_argument("--mid_test", type=str, default="False")
@@ -151,6 +160,8 @@ def run(args, logger=None) -> None:
         hidden_channel_mlp=args.hidden_channel_mlp,
         block_layers=args.block_layers,
         block_type=args.block_type,
+        outstage=args.outstage,
+        instage=args.instage,
     )
     tc = TrainConfig(
         learning_rate=args.learning_rate,

@@ -54,6 +54,18 @@ import numpy as np
 F32 = jnp.float32
 LN2 = math.log(2.0)
 
+# Octant-bit stage groupings (get_stage_lst, upsample.py:24-35): stage g
+# predicts its group's bits at once (conditionally independent given the
+# context); the context for stage g+1 sees the bits of groups 0..g as
+# channels, in group-concatenation order.
+STAGE_GROUPS = {
+    8: tuple((o,) for o in range(8)),
+    4: ((0, 1), (2, 3), (4, 5), (6, 7)),
+    3: ((0, 1), (6, 7), (2, 3, 4, 5)),
+    2: ((0, 1, 6, 7), (2, 3, 4, 5)),
+    1: (tuple(range(8)),),
+}
+
 
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
@@ -68,6 +80,7 @@ class ModelConfig:
     scale_mlp_hidden: int = 16
     block_layers: int = 1
     outstage: int = 8
+    instage: int = 1
     kernel_size: int = 3  # model_core2 variant: plumb k through every block
     # Residual-core type inside blocks (resnet.py:146-162 ResNetBlock).
     # The reference CLI can only ever produce 'inception' (CNP never passes
@@ -81,16 +94,21 @@ class ModelConfig:
     def __post_init__(self):
         if self.block_layers < 1:
             raise ValueError(f"block_layers must be >= 1, got {self.block_layers}")
-        if self.outstage != 8:
-            # The reference supports outstage groupings {8,4,3,2,1}
-            # (upsample.py:24-35 get_stage_lst: multi-bit stages with
-            # grouped occupancy context).  Only the 8x1-bit default is
-            # implemented here; anything else must fail loudly rather
-            # than silently train a different network.
+        if self.outstage not in STAGE_GROUPS:
+            raise ValueError(
+                f"outstage={self.outstage}: the reference supports "
+                f"{sorted(STAGE_GROUPS)} (get_stage_lst, upsample.py:24-35)"
+            )
+        if self.instage != 1:
+            # instage > 1 splits PARENT nodes spatially by octant parity
+            # and conditions later parent groups on earlier ones
+            # (upsample.py:99-109 split_mask, 136-160 basic_module).  The
+            # reference hardcodes instage=1 at both model construction
+            # sites (main.py:97,218); fail loudly rather than silently
+            # train a different network.
             raise NotImplementedError(
-                f"outstage={self.outstage}: only the default outstage=8 "
-                "(one octant bit per stage, reference get_stage_lst, "
-                "upsample.py:24-35) is implemented"
+                f"instage={self.instage}: only instage=1 (the value the "
+                "reference ever constructs, main.py:97,218) is implemented"
             )
         if self.block_type not in ("inception", "resnet", "dilation"):
             raise ValueError(f"unknown block_type {self.block_type!r}")
@@ -110,6 +128,41 @@ class ModelConfig:
     @property
     def kvol(self) -> int:
         return self.kernel_size**3
+
+    # ---- stage-grouping geometry (get_stage_lst, upsample.py:24-35) ----
+
+    @property
+    def groups(self) -> tuple:
+        """Octant indices predicted by each stage."""
+        return STAGE_GROUPS[self.outstage]
+
+    @property
+    def group_perm(self) -> tuple:
+        """Octant order as the context channels see it: groups
+        concatenated (e.g. outstage=3 -> 0,1,6,7,2,3,4,5 — the reference
+        merges per-GROUP occupancy tensors channel-wise,
+        merge_two_frames/upsample.py:206-210)."""
+        return tuple(o for g in self.groups for o in g)
+
+    @property
+    def cum_group(self) -> tuple:
+        """cum_group[g] = #context channels available AFTER stage g."""
+        out, c = [], 0
+        for g in self.groups:
+            c += len(g)
+            out.append(c)
+        return tuple(out)
+
+    @property
+    def ctx_channels(self) -> int:
+        """Context-channel count of the LAST stage (the widest context
+        block input; = 7 at outstage=8)."""
+        return 8 - len(self.groups[-1])
+
+    @property
+    def gmax(self) -> int:
+        """Widest stage (bits predicted at once; 1 at outstage=8)."""
+        return max(len(g) for g in self.groups)
 
 
 # ------------------------------------------------------------------ init --
@@ -228,17 +281,31 @@ def init_params(key, cfg: ModelConfig):
     prune = stack_init(
         keys[4], lambda k: _conv_init(k, cfg.kvol, ch, ch), cfg.outstage
     )
+    # per-stage heads: l1 out-width = the stage's group size (1 at the
+    # default outstage=8, where the stacked layout is kept for weight-
+    # bitstream stability; ragged groupings store a per-stage tuple so the
+    # serialized parameter count matches the reference exactly)
+    l1_keys = jax.random.split(keys[6], cfg.outstage)
+    if cfg.gmax == 1:
+        l1 = stack_init(
+            keys[6], lambda k: _linear_init(k, cfg.hidden_channel_mlp, 1), cfg.outstage
+        )
+    else:
+        l1 = tuple(
+            _linear_init(l1_keys[g], cfg.hidden_channel_mlp, len(grp))
+            for g, grp in enumerate(cfg.groups)
+        )
     inner_mlp = {
         "l0": stack_init(
             keys[5], lambda k: _linear_init(k, ch, cfg.hidden_channel_mlp), cfg.outstage
         ),
-        "l1": stack_init(
-            keys[6], lambda k: _linear_init(k, cfg.hidden_channel_mlp, 1), cfg.outstage
-        ),
+        "l1": l1,
     }
-    outer_keys = jax.random.split(keys[7], cfg.outstage - 1)
+    outer_keys = jax.random.split(keys[7], max(cfg.outstage - 1, 1))
+    # context block g's conv_in reads the bits of groups 0..g
+    # (cum_channels, upsample.py:46-47,72-76); = g+1 at outstage=8
     outer = [
-        _block_init(outer_keys[i], i + 1, ch, ch, cfg.kvol)
+        _block_init(outer_keys[i], cfg.cum_group[i], ch, ch, cfg.kvol)
         for i in range(cfg.outstage - 1)
     ]
     return {
@@ -476,20 +543,27 @@ def _input_features(params, cfg: ModelConfig, scale_code):
 
 def _stage_context(params, x_glob, occ_t, idx_t, stage: int):
     """Context fed to stage ``stage``: x_glob (+ occupancy-context block
-    over channels 0..stage-1 for stage >= 1; upsample.py:204-214).
-    ``occ_t`` is (8, N) feature-major ground truth."""
+    over the already-coded group bits for stage >= 1; upsample.py:204-214).
+    ``occ_t`` is feature-major ground truth in group-perm octant order
+    (>= cum_prev[stage] channels; the block reads its conv_in width)."""
     if stage == 0:
         return x_glob
-    return x_glob + _block(occ_t[:stage], idx_t, params["outer"][stage - 1])
+    p = params["outer"][stage - 1]
+    cin = p["conv_in"]["w"].shape[1]
+    return x_glob + _block(occ_t[:cin], idx_t, p)
 
 
 def _stage_head(params, ctx, idx_t, stage: int):
-    """Per-stage head: prune conv then the [ch -> 24 -> 1] MLP
-    (upsample.py:137-161); returns logits (N,)."""
+    """Per-stage head: prune conv then the [ch -> 24 -> group-width] MLP
+    (upsample.py:137-161); returns logits (len(group), N)."""
     h = _conv3(ctx, idx_t, {"w": params["prune"]["w"][stage], "b": params["prune"]["b"][stage]})
+    l1_all = params["inner_mlp"]["l1"]
     l0 = {"w": params["inner_mlp"]["l0"]["w"][stage], "b": params["inner_mlp"]["l0"]["b"][stage]}
-    l1 = {"w": params["inner_mlp"]["l1"]["w"][stage], "b": params["inner_mlp"]["l1"]["b"][stage]}
-    return _mlp2(h, l0, l1)[0]
+    if isinstance(l1_all, tuple):
+        l1 = l1_all[stage]
+    else:
+        l1 = {"w": l1_all["w"][stage], "b": l1_all["b"][stage]}
+    return _mlp2(h, l0, l1)
 
 
 def forward_all_stages(params, cfg: ModelConfig, scale_id, feat_code, idx_t, occ_t):
@@ -517,19 +591,26 @@ def forward_all_stages(params, cfg: ModelConfig, scale_id, feat_code, idx_t, occ
 
     block_in = jax.checkpoint(lambda p, xi: _block(xi, idx_t, p["block_in"]))
     x_glob = block_in(params, intensor)
-    occ7_t = occ_t[: cfg.outstage - 1]
+    perm = np.asarray(cfg.group_perm)
+    occ_ctx = occ_t[perm][: cfg.ctx_channels]  # group-perm octant order
 
     def body(_, stage):
         def run(p, xg, o7):
             ctx = stage_context_traced(p, cfg, stage, xg, o7, idx_t)
-            return stage_head_traced(p, stage, ctx, idx_t)
+            return stage_head_traced(p, cfg, stage, ctx, idx_t)
 
-        return None, jax.checkpoint(run)(params, x_glob, occ7_t)
+        return None, jax.checkpoint(run)(params, x_glob, occ_ctx)
 
     _, logits = jax.lax.scan(
         body, None, jnp.arange(cfg.outstage, dtype=jnp.int32)
-    )
-    return logits  # (8, N)
+    )  # (outstage, gmax, N); rows past each group's width are padding
+    # reassemble to octant-order (8, N): octant perm[cum_prev[g]+j] is
+    # stage g's j-th group bit (static indexing)
+    rows = [None] * 8
+    for g, grp in enumerate(cfg.groups):
+        for j, o in enumerate(grp):
+            rows[o] = logits[g, j]
+    return jnp.stack(rows)  # (8, N)
 
 
 def training_bits(params, cfg: ModelConfig, scale_id, feat_code, idx_t, occ_t, mask):
@@ -556,13 +637,13 @@ def stack_outer_blocks(params, cfg: ModelConfig):
     one compiled executable covers all 8 stages, which matters on TPU
     where each new (shape, static-arg) combination is a fresh compile.
     """
-    k = cfg.outstage - 1  # 7
+    k = cfg.ctx_channels  # 7 at the default outstage=8
     conv_in_w = jnp.stack(
         [
-            jnp.pad(p["conv_in"]["w"], ((0, 0), (0, k - 1 - i), (0, 0)))
+            jnp.pad(p["conv_in"]["w"], ((0, 0), (0, k - cfg.cum_group[i]), (0, 0)))
             for i, p in enumerate(params["outer"])
         ]
-    )  # (7, kvol, 7, ch)
+    )  # (outstage-1, kvol, k, ch)
 
     def stack(fn):
         return jax.tree_util.tree_map(
@@ -580,13 +661,18 @@ def stack_outer_blocks(params, cfg: ModelConfig):
 def stage_context_traced(params, cfg: ModelConfig, stage, x_glob, occ7_t, idx_t):
     """Context for a *traced* stage index.
 
-    ``occ7_t`` is (outstage-1, N) float32 feature-major; rows >= stage are
-    masked to zero here, so the encoder may pass full ground truth and the
-    decoder its partially-filled buffer — both sides feed the executable
-    identical values (the encoder/decoder bit-identity requirement).
+    ``occ7_t`` is (ctx_channels, N) float32 feature-major in GROUP-PERM
+    octant order (cfg.group_perm); channels not yet decoded before
+    ``stage`` are masked to zero here, so the encoder may pass full
+    ground truth and the decoder its partially-filled buffer — both
+    sides feed the executable identical values (the encoder/decoder
+    bit-identity requirement).  At the default outstage=8 this is the
+    familiar (7, N) buffer with channel c visible iff c < stage.
     """
-    k = cfg.outstage - 1
-    occ_masked = occ7_t * (jnp.arange(k) < stage).astype(F32)[:, None]
+    k = cfg.ctx_channels
+    cum_prev = jnp.asarray((0,) + cfg.cum_group[:-1], jnp.int32)
+    vis = jnp.take(cum_prev, stage)
+    occ_masked = occ7_t * (jnp.arange(k) < vis).astype(F32)[:, None]
     st = stack_outer_blocks(params, cfg)
     idx = jnp.maximum(stage - 1, 0)
     blk = {
@@ -598,21 +684,38 @@ def stage_context_traced(params, cfg: ModelConfig, stage, x_glob, occ7_t, idx_t)
     return x_glob + jnp.where(stage > 0, 1.0, 0.0) * ctx_occ
 
 
-def stage_head_traced(params, stage, ctx, idx_t):
+def stack_heads(params, cfg: ModelConfig):
+    """Dense (outstage, hidden, gmax)/(outstage, gmax) view of the
+    per-stage l1 heads; ragged groupings zero-pad each stage's out-width
+    to ``gmax`` (pad logits are discarded by the callers' group masks).
+    At outstage=8 the parameters already ARE this stack."""
+    l1 = params["inner_mlp"]["l1"]
+    if not isinstance(l1, tuple):
+        return l1
+    g = cfg.gmax
+    return {
+        "w": jnp.stack([
+            jnp.pad(p["w"], ((0, 0), (0, g - p["w"].shape[1]))) for p in l1
+        ]),
+        "b": jnp.stack([jnp.pad(p["b"], (0, g - p["b"].shape[0])) for p in l1]),
+    }
+
+
+def stage_head_traced(params, cfg: ModelConfig, stage, ctx, idx_t):
+    """Logits (gmax, N) for the ``stage``'s group bits (rows past the
+    group's width are padding)."""
     h = _conv3(
         ctx,
         idx_t,
         {"w": params["prune"]["w"][stage], "b": params["prune"]["b"][stage]},
     )
+    l1s = stack_heads(params, cfg)
     l0 = {
         "w": params["inner_mlp"]["l0"]["w"][stage],
         "b": params["inner_mlp"]["l0"]["b"][stage],
     }
-    l1 = {
-        "w": params["inner_mlp"]["l1"]["w"][stage],
-        "b": params["inner_mlp"]["l1"]["b"][stage],
-    }
-    return _mlp2(h, l0, l1)[0]
+    l1 = {"w": l1s["w"][stage], "b": l1s["b"][stage]}
+    return _mlp2(h, l0, l1)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

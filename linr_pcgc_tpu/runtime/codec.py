@@ -127,9 +127,14 @@ def _context_batched(params, cfg: ModelConfig, s_idx, code, nbr):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _stage_probs_batched(params, cfg: ModelConfig, stage, x_glob, occ7, nbr):
+    """(F, gmax, B) per-bit probabilities for ``stage``'s group (rows
+    past the group's width are padding).  ``occ7`` is the
+    (F, ctx_channels, B) group-perm-ordered context buffer; channels not
+    yet coded before ``stage`` are masked inside the executable."""
+
     def one(xg, o7, nb):
         ctx = stage_context_traced(params, cfg, stage, xg, o7, nb)
-        return jax.nn.sigmoid(stage_head_traced(params, stage, ctx, nb))
+        return jax.nn.sigmoid(stage_head_traced(params, cfg, stage, ctx, nb))
 
     return jax.vmap(one)(x_glob, occ7, nbr)
 
@@ -231,21 +236,30 @@ def encode_gop_streams_gather(params, cfg: ModelConfig, pyramids):
         occ_np = np.zeros((f, b, 8), np.float32)
         for i, p in enumerate(pyramids):
             occ_np[i, : ns[i]] = p.levels[s].occ[: ns[i]]
-        # feature-major (F, 7, B) for the stage context
-        occ7 = jnp.asarray(occ_np.transpose(0, 2, 1)[:, : cfg.outstage - 1, :])
+        # feature-major context buffer in group-perm octant order
+        perm = np.asarray(cfg.group_perm)
+        occ_ctx = jnp.asarray(
+            occ_np.transpose(0, 2, 1)[:, perm, :][:, : cfg.ctx_channels, :]
+        )
 
+        # one AC stream per OCTANT BIT (8 per frame at any grouping):
+        # stage g's group bits share one probability evaluation and are
+        # conditionally independent given the context (upsample.py:149-160)
         probs_all, bits_all = [], []
-        for stage in range(cfg.outstage):
+        pos = 0
+        for g, grp in enumerate(cfg.groups):
             pr = np.asarray(
-                _stage_probs_batched(params, cfg, jnp.int32(stage), x_glob, occ7, nbr)
+                _stage_probs_batched(params, cfg, jnp.int32(g), x_glob, occ_ctx, nbr)
             )
-            for i in range(f):
-                probs_all.append(pr[i, : ns[i]])
-                bits_all.append(occ_np[i, : ns[i], stage])
+            for j, o in enumerate(grp):
+                for i in range(f):
+                    probs_all.append(pr[i, j, : ns[i]])
+                    bits_all.append(occ_np[i, : ns[i], o])
+            pos += len(grp)
         streams = binary_encode_batch(probs_all, bits_all)
-        # streams are ordered stage-major; regroup per frame
+        # streams are ordered bit-major; regroup per frame
         for i in range(f):
-            per_frame = [streams[stage * f + i] for stage in range(cfg.outstage)]
+            per_frame = [streams[k * f + i] for k in range(8)]
             blob = pack_bitstream(per_frame)
             blobs[i][s] = blob
             total_bits += len(blob) * 8
@@ -317,23 +331,28 @@ def decode_gop_streams_gather(params, cfg: ModelConfig, frame_blobs, lows):
         keys, code, nbr = _prep_levels(coords, n_dev, cfg.kernel_size, cfg.dilations)
         x_glob = _context_batched(params, cfg, jnp.int32(s), code, nbr)
         streams = [unpack_bitstream(frame_blobs[i][s]) for i in range(f)]
-        occ7 = jnp.zeros((f, cfg.outstage - 1, coords.shape[1]), F32)
-        occ_cols = []
-        for stage in range(cfg.outstage):
+        occ_ctx = jnp.zeros((f, cfg.ctx_channels, coords.shape[1]), F32)
+        occ_cols = [None] * 8  # octant order
+        pos = 0  # bit-stream index AND group-perm channel index
+        for g, grp in enumerate(cfg.groups):
             pr = np.asarray(
-                _stage_probs_batched(params, cfg, jnp.int32(stage), x_glob, occ7, nbr)
+                _stage_probs_batched(params, cfg, jnp.int32(g), x_glob, occ_ctx, nbr)
             )
+            # the group's bits decode against ONE probability evaluation
+            # (conditionally independent given the context)
             decs = binary_decode_batch(
-                [pr[i, : ns[i]] for i in range(f)],
-                [streams[i][stage] for i in range(f)],
+                [pr[i, j, : ns[i]] for j in range(len(grp)) for i in range(f)],
+                [streams[i][pos + j] for j in range(len(grp)) for i in range(f)],
             )
-            col = np.zeros((f, coords.shape[1]), np.float32)
-            for i in range(f):
-                col[i, : ns[i]] = decs[i]
-            col_dev = jnp.asarray(col)
-            occ_cols.append(col_dev)
-            if stage < cfg.outstage - 1:
-                occ7 = occ7.at[:, stage, :].set(col_dev)
+            for j, o in enumerate(grp):
+                col = np.zeros((f, coords.shape[1]), np.float32)
+                for i in range(f):
+                    col[i, : ns[i]] = decs[j * f + i]
+                col_dev = jnp.asarray(col)
+                occ_cols[o] = col_dev
+                if pos + j < cfg.ctx_channels:
+                    occ_ctx = occ_ctx.at[:, pos + j, :].set(col_dev)
+            pos += len(grp)
         occ = jnp.stack(occ_cols, axis=-1).astype(jnp.int32)
         children, counts = _upsample_batched(coords, keys, occ)
         ns = [int(c) for c in np.asarray(counts)]

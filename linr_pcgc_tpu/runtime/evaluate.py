@@ -75,15 +75,19 @@ def _gop_probs_and_bits(params, cfg: ModelConfig, pyramids):
         occ_np = np.zeros((f, b, 8), np.float32)
         for i, p in enumerate(pyramids):
             occ_np[i, : ns[i]] = p.levels[s].occ[: ns[i]]
-        occ7 = jnp.asarray(occ_np.transpose(0, 2, 1)[:, : cfg.outstage - 1, :])
-        for stage in range(cfg.outstage):
+        perm = np.asarray(cfg.group_perm)
+        occ_ctx = jnp.asarray(
+            occ_np.transpose(0, 2, 1)[:, perm, :][:, : cfg.ctx_channels, :]
+        )
+        for g, grp in enumerate(cfg.groups):
             pr = np.asarray(
-                _stage_probs_batched(params, cfg, jnp.int32(stage), x_glob, occ7, nbr)
+                _stage_probs_batched(params, cfg, jnp.int32(g), x_glob, occ_ctx, nbr)
             )
-            for i in range(f):
-                per_frame[i].append(
-                    (s, stage, pr[i, : ns[i]], occ_np[i, : ns[i], stage])
-                )
+            for j, o in enumerate(grp):
+                for i in range(f):
+                    per_frame[i].append(
+                        (s, g, pr[i, j, : ns[i]], occ_np[i, : ns[i], o])
+                    )
     return per_frame
 
 
@@ -191,7 +195,7 @@ def test_one_gop(
         blobs = []
         for s in range(s_num):
             idxs = [j for j, e in enumerate(frame) if e[0] == s]
-            base = i * s_num * cfg.outstage
+            base = i * s_num * 8  # 8 bit-streams per (frame, scale)
             blob = pack_bitstream([streams[base + j] for j in idxs])
             bits_real += len(blob) * 8
             blobs.append(blob)

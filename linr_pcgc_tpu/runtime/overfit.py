@@ -367,7 +367,11 @@ def overfit_gop(
         # network).  Default: STAGE-PARALLEL (exact sequential semantics,
         # parallel/train.make_epoch_fn_sb_sp); frame-DP remains available
         # explicitly (backend='sb_dp') but trades rate for wall-clock.
-        sb_ok = cfg.kernel_size == 3 and cfg.block_type != "dilation"
+        sb_ok = (
+            cfg.kernel_size == 3
+            and cfg.outstage == 8
+            and cfg.block_type != "dilation"
+        )
         if sb_ok and backend in ("auto", "sb", "sb_sp"):
             backend = "sb_sp" if cfg.outstage % devices == 0 else "sb_dp"
         elif backend not in ("sb_dp",):
@@ -375,7 +379,8 @@ def overfit_gop(
     elif backend == "auto":
         backend = (
             "sb"
-            if cfg.kernel_size == 3 and cfg.block_type != "dilation"
+            if cfg.kernel_size == 3 and cfg.outstage == 8
+            and cfg.block_type != "dilation"
             else "gather"
         )
     if backend == "sb_sp":

@@ -76,6 +76,56 @@ def test_dilated_param_count():
     assert param_count(pd) == 54712 - 1796 + 4 * 1736 + 2 * 136
 
 
+def test_outstage_param_counts():
+    """Grouped stage configs (get_stage_lst, upsample.py:24-35) must build
+    the reference-equivalent parameter inventory: outstage prune convs and
+    inner MLPs, group-width l1 heads, outer context blocks with
+    cum-channel conv_in widths (upsample.py:46-47,58-76)."""
+    from linr_pcgc_tpu.models.network import STAGE_GROUPS
+
+    def ref_count(outstage, ch=8, hidden=24, kvol=27):
+        groups = STAGE_GROUPS[outstage]
+        cum = np.cumsum([len(g) for g in groups])
+        base = 56 + 2744 + 5268  # scale_emb + scale MLPs + block_in
+        prune = outstage * (kvol * ch * ch + ch)
+        inner = outstage * (ch * hidden + hidden) + sum(
+            hidden * len(g) + len(g) for g in groups
+        )
+        outer = sum(
+            (kvol * int(cum[i]) * ch + ch) + 1796 + (kvol * ch * ch + ch)
+            for i in range(outstage - 1)
+        )
+        return base + prune + inner + outer
+
+    assert ref_count(8) == 54712  # sanity: the default inventory
+    for o in (4, 3, 2, 1):
+        p = init_params(jax.random.PRNGKey(0), ModelConfig(outstage=o))
+        assert param_count(p) == ref_count(o), o
+
+
+def test_outstage_forward_and_grad():
+    """outstage=3 (ragged groups 2/2/4) trains through the gather backend:
+    octant-order logits, finite nonzero gradients on every head."""
+    cfg = ModelConfig(outstage=3)
+    rng = np.random.default_rng(7)
+    coords, keys, nbr, code, occ, valid, n = make_level(rng, 150)
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    scale_id = jnp.zeros(coords.shape[0], jnp.int32)
+    logits = forward_all_stages(params, cfg, scale_id, code, nbr, occ)
+    assert logits.shape == (8, coords.shape[0])
+    bits, grads = jax.value_and_grad(
+        lambda p: training_bits(p, cfg, scale_id, code, nbr, occ, valid)
+    )(params)
+    assert np.isfinite(float(bits))
+    for lp in grads["inner_mlp"]["l1"]:
+        for leaf in jax.tree_util.tree_leaves(lp):
+            a = np.asarray(leaf)
+            assert np.all(np.isfinite(a)) and np.any(a != 0)
+    for blk in grads["outer"]:
+        a = np.asarray(blk["conv_in"]["w"])
+        assert np.all(np.isfinite(a)) and np.any(a != 0)
+
+
 def test_unsupported_config_rejected():
     import pytest
 
@@ -83,6 +133,10 @@ def test_unsupported_config_rejected():
         ModelConfig(block_type="bogus")
     with pytest.raises(ValueError):
         ModelConfig(block_layers=0)
+    with pytest.raises(ValueError):
+        ModelConfig(outstage=5)
+    with pytest.raises(NotImplementedError):
+        ModelConfig(instage=2)
 
 
 def test_flatten_roundtrip():
@@ -245,7 +299,7 @@ def test_codec_path_matches_training_forward():
     x_glob = level_context(params, CFG, jnp.int32(3), code, nbr)
     for stage in range(8):
         lg = stage_logits(params, CFG, stage, x_glob, occ[:stage], nbr)
-        np.testing.assert_allclose(np.asarray(lg)[:n], ref[stage, :n], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lg)[0, :n], ref[stage, :n], rtol=1e-4, atol=1e-5)
 
 
 def test_stage_logits_deterministic():

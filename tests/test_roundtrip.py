@@ -397,10 +397,25 @@ def test_standalone_decode_dilation_block_type(tmp_path):
     np.testing.assert_array_equal(decoded[0], np.unique(frames[0], axis=0))
 
 
-def test_outstage_rejected_loudly():
-    """Non-default stage groupings (reference get_stage_lst supports
-    8/4/3/2/1) are not representable here and must raise, not silently
-    train a different network (VERDICT r2 missing #3)."""
-    for bad in (4, 3, 2, 1):
-        with pytest.raises(NotImplementedError):
-            ModelConfig(scale_num=4, outstage=bad)
+def test_standalone_decode_outstage_grouping(tmp_path):
+    """outstage=3 (ragged groups 2/2/4, get_stage_lst upsample.py:24-35)
+    end to end: the codec must route to the gather backend, the grouping
+    must survive the side info, and standalone decode (cfg=None) must be
+    lossless (VERDICT r2 missing #3)."""
+    from linr_pcgc_tpu.runtime.codec import (
+        cfg_side_info, cfg_from_side_info, _use_sb,
+    )
+
+    cfg = ModelConfig(scale_num=4, outstage=3)
+    assert not _use_sb(cfg)
+    assert cfg_from_side_info({"model_cfg": cfg_side_info(cfg)}) == cfg
+
+    ds, frames = small_dataset(1, n_pts=900)
+    cfg = ModelConfig(scale_num=ds.scale_num, outstage=3)
+    params = init_params(jax.random.PRNGKey(11), cfg)
+    model_path = str(tmp_path / "model.npz")
+    save_checkpoint(model_path, params, adam_init(params), 0.01, 0, 1.0, 8)
+    enc_dir = str(tmp_path / "enc" / "gop_0_0")
+    encode_gop(model_path, [ds[0]], enc_dir, cfg)
+    decoded = decode_gop(enc_dir, None, cfg=None)
+    np.testing.assert_array_equal(decoded[0], np.unique(frames[0], axis=0))
