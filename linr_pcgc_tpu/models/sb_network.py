@@ -138,7 +138,7 @@ def sbconv3(x, geom, w, b):
     """Stage-batched 3^3 superbrick conv (dispatches to the 4^3 fast path
     when the slot axis says so).
 
-    x: (Bb, S, C, 512); w: (S, 27, C, O) canonical kernel; b: (S, O).
+    x: (Bb, S, C, slots); w: (S, 27, C, O) canonical kernel; b: (S, O).
     One halo exchange at 8^3 over the merged (S*C) channel axis — in the
     GROUP-ORDERED (Bb, SC, 10, 100) layout (ops/superbricks.py: no tensor
     ever materializes spatial minor dims, the measured 8-16x TPU tile-pad
@@ -147,7 +147,7 @@ def sbconv3(x, geom, w, b):
     slab, immediately consumed by its batched MXU conv matmul before the
     next slab is materialized.  Output is re-assembled to superbrick
     slots, bias + slot mask.
-    Returns (Bb, S, O, 512), tagged as a saved activation.
+    Returns (Bb, S, O, slots), tagged as a saved activation.
     """
     if x.ndim == 3:
         return b4conv3_sm(x, geom, w, b)
@@ -456,7 +456,7 @@ def sb_forward_all_stages(params, cfg: ModelConfig, geom, occ_t, level_slices,
             "irn": sl(st["irn"]),
             "conv_out": sl(st["conv_out"]),
         }
-        ctx = _sb_block(occ_b, geom, outer)  # (Bb, cb-ca, ch, 512)
+        ctx = _sb_block(occ_b, geom, outer)  # (Bb, cb-ca, ch, slots)
         if a == 0:
             # stage 0 = x_glob alone (upsample.py:204-214)
             ctx = jnp.concatenate([jnp.zeros_like(ctx[:, :1]), ctx], axis=1)
