@@ -1,0 +1,295 @@
+"""Device-resident interleaved binary rANS — TPU-native entropy coding.
+
+The reference codes occupancy bits with a host arithmetic coder fed by
+per-symbol probabilities copied off the GPU every stage
+(/root/reference/models/module_utils.py:8-40 BinaryArithmeticCoding,
+upsample.py:226-275) — a device->host probability stream that dominates
+any transfer-limited link and serializes decode on the host.  Here the
+entropy coder itself runs ON the TPU as a lane-vectorized rANS
+(range asymmetric numeral system, byte-renormalized, 16-bit probability
+precision — the same staircase resolution as the torchac convention), so
+probabilities never leave the device and the wire carries only the
+actual bitstream:
+
+  * ``LANES`` independent rANS states are carried as a (LANES,) uint32
+    vector; symbol ``i`` of a segment belongs to lane ``i % LANES`` and
+    scan step ``i // LANES`` — each ``lax.scan`` step encodes/decodes
+    LANES symbols with pure elementwise uint32 arithmetic (VPU work, no
+    host round trip);
+  * states persist across segments (a segment = one (level, stage)
+    probability batch), so per-stream overhead is one header per GOP
+    frame-chunk (LANES x {state, length}), not per segment;
+  * probability -> frequency quantization is elementwise
+    (clip(round(p * 2^16), 1, 2^16-1)) from the f16 probabilities both
+    codec sides derive from the SAME jitted executable — elementwise IEEE
+    ops are fusion-order independent, so encoder/decoder frequencies are
+    bit-identical by construction;
+  * invalid (bucket-pad) symbols are coded as bit 0 with f1 = 1
+    (cost -log2(65535/65536) ~ 2.2e-5 bits each): both sides derive the
+    same validity from the shared counts, and the lane geometry stays
+    static-shape.
+
+Encoding runs in reverse symbol order (rANS is LIFO): the encoder scans
+segments last-to-first with ``lax.scan(reverse=True)``, emitting <= 2
+renorm bytes per symbol into per-step slots; the per-lane byte streams
+in decode-read order are then just the emitted slots read in ascending
+decode order, high slot first (no host-side reversal).
+
+Format constants are frozen as rans-v1: RANS_L = 2^23 state lower bound,
+byte renormalization, PROB_BITS = 16, bit-0 interval [0, f0).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+LANES = 128          # rANS lanes: header cost = LANES * 8 bytes per chunk
+RANS_L = 1 << 23     # state lower bound (ryg rans_byte convention)
+PROB_BITS = 16
+PROB_SCALE = 1 << PROB_BITS
+
+U32 = jnp.uint32
+U8 = jnp.uint8
+
+
+# ------------------------------------------------------------ frequencies --
+
+
+def freq1_from_prob(p, valid):
+    """P(bit=1) -> 16-bit frequency, elementwise and fusion-stable.
+
+    ``p`` float (f16-derived f32), ``valid`` bool; invalid lanes get
+    f1 = 1 / bit forced 0 by the callers."""
+    f1 = jnp.clip(
+        jnp.round(p.astype(jnp.float32) * PROB_SCALE).astype(jnp.int32),
+        1,
+        PROB_SCALE - 1,
+    )
+    return jnp.where(valid, f1, 1).astype(U32)
+
+
+def np_freq1_from_prob(p, valid):
+    f1 = np.clip(
+        np.round(p.astype(np.float32) * PROB_SCALE).astype(np.int64),
+        1,
+        PROB_SCALE - 1,
+    )
+    return np.where(valid, f1, 1).astype(np.uint32)
+
+
+# ------------------------------------------------------- device: decode ----
+
+
+@jax.jit
+def rans_decode_segment(states, cursors, stream, probs, valid):
+    """Decode one segment's bits on device.
+
+    states (LANES,) u32, cursors (LANES,) i32 absolute byte positions
+    into ``stream`` (B,) u8 (zero-padded), probs (N,) float P(bit=1) with
+    N % LANES == 0, valid (N,) bool.  Returns (states', cursors',
+    bits (N,) u8) — pad symbols decode to 0.
+    """
+    n = probs.shape[0]
+    steps = n // LANES
+    pr = probs.reshape(steps, LANES)
+    vd = valid.reshape(steps, LANES)
+
+    def body(carry, inp):
+        x, cur = carry
+        p, v = inp
+        f1 = freq1_from_prob(p, v)
+        f0 = jnp.asarray(PROB_SCALE, U32) - f1
+        slot = x & jnp.asarray(PROB_SCALE - 1, U32)
+        bit = slot >= f0
+        f = jnp.where(bit, f1, f0)
+        c = jnp.where(bit, f0, jnp.asarray(0, U32))
+        x = f * (x >> 16) + slot - c
+        for _ in range(2):  # byte renorm: at most 2 reads per symbol
+            need = x < jnp.asarray(RANS_L, U32)
+            byte = jnp.take(stream, cur, mode="clip").astype(U32)
+            x = jnp.where(need, (x << 8) | byte, x)
+            cur = cur + need.astype(jnp.int32)
+        out = jnp.where(v, bit, False).astype(U8)
+        return (x, cur), out
+
+    (states, cursors), bits = jax.lax.scan(body, (states, cursors), (pr, vd))
+    return states, cursors, bits.reshape(n)
+
+
+# ------------------------------------------------------- device: encode ----
+
+
+@jax.jit
+def rans_encode_segment(states, probs, bits, valid):
+    """Encode one segment in reverse symbol order on device.
+
+    Returns (states', slot_bytes (steps, LANES, 2) u8, slot_mask
+    (steps, LANES, 2) bool): slot [..., 0] is the later-emitted (first-
+    read) byte, [..., 1] the earlier — ascending decode order is exactly
+    slots read t = 0..steps-1, slot 0 then 1.
+
+    NOTE: segments must be encoded in REVERSE decode order (the state
+    chain is LIFO); the caller feeds the last decode segment first.
+    """
+    n = probs.shape[0]
+    steps = n // LANES
+    pr = probs.reshape(steps, LANES)
+    bt = bits.reshape(steps, LANES)
+    vd = valid.reshape(steps, LANES)
+
+    def body(x, inp):
+        p, b, v = inp
+        f1 = freq1_from_prob(p, v)
+        f0 = jnp.asarray(PROB_SCALE, U32) - f1
+        bit = jnp.where(v, b.astype(jnp.bool_), False)
+        f = jnp.where(bit, f1, f0)
+        c = jnp.where(bit, f0, jnp.asarray(0, U32))
+        # renorm-emit: low byte first; decoder reads the pair in reverse
+        e0 = x >= (f << 15)
+        b0 = (x & jnp.asarray(0xFF, U32)).astype(U8)
+        x = jnp.where(e0, x >> 8, x)
+        e1 = x >= (f << 15)
+        b1 = (x & jnp.asarray(0xFF, U32)).astype(U8)
+        x = jnp.where(e1, x >> 8, x)
+        x = ((x // f) << 16) + (x % f) + c
+        byts = jnp.stack([b1, b0], axis=-1)          # first-read first
+        mask = jnp.stack([e1, e0], axis=-1)
+        return x, (byts, mask)
+
+    states, (byts, mask) = jax.lax.scan(
+        body, states, (pr, bt, vd), reverse=True
+    )
+    return states, byts, mask
+
+
+@partial(jax.jit, static_argnames=("out_bucket",))
+def rans_compact_emissions(byts, mask, out_bucket: int):
+    """Per-lane compaction of one or more stacked segments' emissions.
+
+    byts/mask (K, LANES, 2) in ascending decode order (segments
+    concatenated in decode order along K).  Returns (lane_len (LANES,)
+    i32, out (LANES, out_bucket) u8) where out[l, :lane_len[l]] is lane
+    l's byte stream in decode-read order.
+    """
+    k = byts.shape[0]
+    b2 = byts.transpose(1, 0, 2).reshape(LANES, k * 2)
+    m2 = mask.transpose(1, 0, 2).reshape(LANES, k * 2)
+    pos = jnp.cumsum(m2.astype(jnp.int32), axis=1) - m2.astype(jnp.int32)
+    lane_len = jnp.sum(m2.astype(jnp.int32), axis=1)
+    out = jnp.zeros((LANES, out_bucket), U8)
+    lane_idx = jnp.broadcast_to(
+        jnp.arange(LANES, dtype=jnp.int32)[:, None], pos.shape
+    )
+    tgt = jnp.where(m2, pos, out_bucket)  # drop non-emissions
+    out = out.at[lane_idx.reshape(-1), tgt.reshape(-1)].set(
+        b2.reshape(-1), mode="drop"
+    )
+    return lane_len, out
+
+
+def rans_initial_states():
+    return jnp.full((LANES,), RANS_L, U32)
+
+
+# --------------------------------------------------------- host twin (np) --
+
+
+def np_rans_encode(seg_probs, seg_bits, seg_valid):
+    """Host-reference encoder over a LIST of segments in DECODE order.
+
+    Each segment: probs (N,) f32 (N % LANES == 0), bits (N,) u8,
+    valid (N,) bool.  Returns (states (LANES,) u32, lane_streams: list of
+    LANES bytes objects in decode-read order).
+    """
+    x = np.full(LANES, RANS_L, np.uint64)
+    # emissions collected per lane in ENCODE order
+    enc_bytes = [[] for _ in range(LANES)]
+    for probs, bits, valid in reversed(list(zip(seg_probs, seg_bits, seg_valid))):
+        n = len(probs)
+        assert n % LANES == 0
+        steps = n // LANES
+        pr = np.asarray(probs, np.float32).reshape(steps, LANES)
+        bt = np.asarray(bits).reshape(steps, LANES)
+        vd = np.asarray(valid).reshape(steps, LANES)
+        for t in reversed(range(steps)):
+            f1 = np_freq1_from_prob(pr[t], vd[t]).astype(np.uint64)
+            f0 = PROB_SCALE - f1
+            bit = np.where(vd[t], bt[t].astype(bool), False)
+            f = np.where(bit, f1, f0)
+            c = np.where(bit, f0, 0)
+            for _ in range(2):
+                emit = x >= (f << 15)
+                for l in np.nonzero(emit)[0]:
+                    enc_bytes[l].append(int(x[l] & 0xFF))
+                x = np.where(emit, x >> 8, x)
+            x = ((x // f) << 16) + (x % f) + c
+    streams = [bytes(reversed(eb)) for eb in enc_bytes]
+    return x.astype(np.uint32), streams
+
+
+def np_rans_decode(states, lane_streams, seg_probs, seg_valid):
+    """Host-reference decoder; returns (bits per segment, final states)."""
+    x = states.astype(np.uint64).copy()
+    cur = np.zeros(LANES, np.int64)
+    buf = [np.frombuffer(s, np.uint8) for s in lane_streams]
+    out = []
+    for probs, valid in zip(seg_probs, seg_valid):
+        n = len(probs)
+        steps = n // LANES
+        pr = np.asarray(probs, np.float32).reshape(steps, LANES)
+        vd = np.asarray(valid).reshape(steps, LANES)
+        bits = np.zeros((steps, LANES), np.uint8)
+        for t in range(steps):
+            f1 = np_freq1_from_prob(pr[t], vd[t]).astype(np.uint64)
+            f0 = PROB_SCALE - f1
+            slot = x & (PROB_SCALE - 1)
+            bit = slot >= f0
+            f = np.where(bit, f1, f0)
+            c = np.where(bit, f0, 0)
+            x = f * (x >> 16) + slot - c
+            for _ in range(2):
+                need = x < RANS_L
+                for l in np.nonzero(need)[0]:
+                    b = buf[l][cur[l]] if cur[l] < len(buf[l]) else 0
+                    x[l] = (x[l] << 8) | b
+                    cur[l] += 1
+            bits[t] = np.where(vd[t], bit, False)
+        out.append(bits.reshape(n))
+    return out, x.astype(np.uint32)
+
+
+# ------------------------------------------------------------ blob format --
+
+
+def pack_rans_blob(states: np.ndarray, lane_streams: list[bytes]) -> bytes:
+    """rans-v1 chunk blob: u32 LANES | LANES x u32 state | LANES x u32
+    length | concatenated lane streams."""
+    head = [np.asarray([LANES], np.uint32).tobytes()]
+    head.append(np.asarray(states, np.uint32).tobytes())
+    head.append(
+        np.asarray([len(s) for s in lane_streams], np.uint32).tobytes()
+    )
+    return b"".join(head + lane_streams)
+
+
+def unpack_rans_blob(blob: bytes):
+    """-> (states (LANES,) u32, flat stream (B,) u8, lane byte offsets
+    (LANES,) i64 into the flat stream)."""
+    lanes = int(np.frombuffer(blob[:4], np.uint32)[0])
+    assert lanes == LANES, (lanes, LANES)
+    off = 4
+    states = np.frombuffer(blob[off: off + 4 * LANES], np.uint32).copy()
+    off += 4 * LANES
+    lens = np.frombuffer(blob[off: off + 4 * LANES], np.uint32).astype(np.int64)
+    off += 4 * LANES
+    flat = np.frombuffer(blob[off:], np.uint8)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    assert len(flat) == int(lens.sum()), (len(flat), int(lens.sum()))
+    # one sentinel byte so clip-mode reads past the end (and fully empty
+    # streams — every lane can fit in its 32-bit state) stay in bounds
+    flat = np.concatenate([flat, np.zeros(1, np.uint8)])
+    return states, flat, offs
