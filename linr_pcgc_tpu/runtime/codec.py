@@ -179,8 +179,15 @@ def encode_gop_streams(params, cfg: ModelConfig, pyramids: list[FramePyramid]):
     """Occupancy streams for every (frame, scale) of a GOP, coded
     stage-synchronously across frames.  Returns blobs[frame][scale]."""
     if _use_sb(cfg):
-        from .dev_codec import encode_gop_streams_dev
+        from .dev_codec import (
+            _rans_mode,
+            encode_gop_streams_dev,
+            encode_gop_streams_rans,
+        )
 
+        if _rans_mode(cfg):
+            # device entropy coder: wire is {"rans": [chunk blobs]}
+            return encode_gop_streams_rans(params, cfg, pyramids)
         return encode_gop_streams_dev(params, cfg, pyramids)
     return encode_gop_streams_gather(params, cfg, pyramids)
 
@@ -270,6 +277,8 @@ def encode_frame(params, cfg: ModelConfig, pyr: FramePyramid) -> dict:
     """Single-frame encode (a GOP of one).  Note: streams are only
     decodable with the same frame grouping (GOP of one)."""
     blobs, bits = encode_gop_streams(params, cfg, [pyr])
+    if isinstance(blobs, dict) and "rans" in blobs:
+        return {"blobs": blobs, "bits": bits}
     return {"blobs": blobs[0], "bits": bits}
 
 
@@ -285,6 +294,10 @@ def decode_gop_streams(
     base-layer coords.  Returns the decoded (min-subtracted) coordinate
     arrays, one per frame.
     """
+    if isinstance(frame_blobs, dict) and "rans" in frame_blobs:
+        from .dev_codec import decode_gop_streams_rans
+
+        return decode_gop_streams_rans(params, cfg, frame_blobs, lows)
     if _use_sb(cfg):
         from .dev_codec import decode_gop_streams_dev
 
@@ -365,8 +378,10 @@ def decode_gop_streams_gather(params, cfg: ModelConfig, frame_blobs, lows):
     return [cur_np[i, : ns[i]] for i in range(f)]
 
 
-def decode_frame(params, cfg: ModelConfig, scale_blobs: list, low_coords: np.ndarray):
+def decode_frame(params, cfg: ModelConfig, scale_blobs, low_coords: np.ndarray):
     """Single-frame decode (GOP of one; see encode_frame)."""
+    if isinstance(scale_blobs, dict) and "rans" in scale_blobs:
+        return decode_gop_streams(params, cfg, scale_blobs, [low_coords])[0]
     return decode_gop_streams(params, cfg, [scale_blobs], [low_coords])[0]
 
 
@@ -461,12 +476,23 @@ def encode_gop(
 
     log(f"encode GOP: {len(pyramids)} frames")
     blobs, total_bits = encode_gop_streams(params_used, cfg, pyramids)
-    for idx in range(len(pyramids)):
-        for s, blob in enumerate(blobs[idx]):
+    if isinstance(blobs, dict) and "rans" in blobs:
+        side_info["entropy"] = "rans-v1"
+        with open(os.path.join(result_dir, "side_info.json"), "w") as f:
+            json.dump(side_info, f, indent=4)
+        for k, blob in enumerate(blobs["rans"]):
             with open(
-                os.path.join(bins_dir, f"frame{idx:04d}_scale{s}.bin"), "wb"
+                os.path.join(bins_dir, f"chunk{k:04d}.rans"), "wb"
             ) as f:
                 f.write(blob)
+    else:
+        for idx in range(len(pyramids)):
+            for s, blob in enumerate(blobs[idx]):
+                with open(
+                    os.path.join(bins_dir, f"frame{idx:04d}_scale{s}.bin"),
+                    "wb",
+                ) as f:
+                    f.write(blob)
     return {
         "point_bits": total_bits,
         "model_bits": comp["bit_real"] + CFG_SIDE_BITS + 32 * len(pyramids),
@@ -512,20 +538,32 @@ def decode_gop(
     flat = decompress_params(n_params, side_info, model_blob)
     params = unflatten_params(template, jnp.asarray(flat))
 
-    frame_blobs = []
-    for idx in range(len(lows)):
-        # scale count discovered from the bin files (decoder.py:104-113)
-        files = globmod.glob(os.path.join(bins_dir, f"frame{idx:04d}_scale*.bin"))
-        scale_num = 1 + max(
-            int(fn.rsplit("scale", 1)[1].split(".bin")[0]) for fn in files
+    if side_info.get("entropy") == "rans-v1":
+        chunk_files = sorted(
+            globmod.glob(os.path.join(bins_dir, "chunk*.rans"))
         )
-        blobs = []
-        for s in range(scale_num):
-            with open(
-                os.path.join(bins_dir, f"frame{idx:04d}_scale{s}.bin"), "rb"
-            ) as fh:
-                blobs.append(fh.read())
-        frame_blobs.append(blobs)
+        frame_blobs = {"rans": [], "s_num": cfg.scale_num}
+        for fn in chunk_files:
+            with open(fn, "rb") as fh:
+                frame_blobs["rans"].append(fh.read())
+    else:
+        frame_blobs = []
+        for idx in range(len(lows)):
+            # scale count discovered from the bin files (decoder.py:104-113)
+            files = globmod.glob(
+                os.path.join(bins_dir, f"frame{idx:04d}_scale*.bin")
+            )
+            scale_num = 1 + max(
+                int(fn.rsplit("scale", 1)[1].split(".bin")[0]) for fn in files
+            )
+            blobs = []
+            for s in range(scale_num):
+                with open(
+                    os.path.join(bins_dir, f"frame{idx:04d}_scale{s}.bin"),
+                    "rb",
+                ) as fh:
+                    blobs.append(fh.read())
+            frame_blobs.append(blobs)
 
     if dec_dir is not None:
         os.makedirs(dec_dir, exist_ok=True)

@@ -453,14 +453,17 @@ def _resize_coords(coords, keys, bv: int):
 # ---------------------------------------------------------------- encode --
 
 
-def encode_chunk_probs_dev(params, cfg: ModelConfig, pyrs):
+def encode_chunk_probs_dev(params, cfg: ModelConfig, pyrs, keep_device=False):
     """Device-chain encode of one frame chunk: per level, the per-stage
     probability and ground-truth bit arrays (the decoder's exact
     executables; all 8 stage dispatches pipeline on device since the
     encoder knows every stage's bits up front).
 
     Returns [(s, probs[stage][frame], bits[stage][frame]), ...] in
-    dispatch (coarse-to-fine) order.
+    dispatch (coarse-to-fine) order.  With ``keep_device=True`` nothing
+    is downloaded: returns [(s, probs_dev[stage] (tv,) f16, cols[stage]
+    (F, Bv/8) u8 packed, geo, total, counts, tv), ...] for the device
+    rANS sweep.
     """
     f = len(pyrs)
     s_num = pyrs[0].scale_num
@@ -503,27 +506,33 @@ def encode_chunk_probs_dev(params, cfg: ModelConfig, pyrs):
             ]
             for stage in range(cfg.outstage)
         ]
-        probs_dev = []
+        probs_dev, cols = [], []
+        prev = jnp.zeros((f, bv // 8), jnp.uint8)
         for stage in range(cfg.outstage):
-            prev = (
-                _pack_bits_frames(stage_bits[stage - 1], bv)
-                if stage > 0
-                else jnp.zeros((f, bv // 8), jnp.uint8)
-            )
             occ_buf, vox_occ, pr = _stage_step(
                 params, cfg, occ_buf, vox_occ, geo["code"], geo["nbr27"],
                 xg, jnp.int32(stage), prev, geo["vox_brick"],
                 geo["vox_slot"], geo["sel"],
             )
             probs_dev.append(pr)
+            # stage's own ground-truth column: the NEXT stage's context
+            # and (keep_device) the rANS sweep's bit source
+            prev = _pack_bits_frames(stage_bits[stage], bv)
+            cols.append(prev)
         if s > 0:
-            last = _pack_bits_frames(stage_bits[cfg.outstage - 1], bv)
             coords, keys = _transition(
-                coords, keys, vox_occ, last,
+                coords, keys, vox_occ, prev,  # = stage-7 column
                 bucket_size(max(shapes.n_vox[s - 1])),
             )
-        pending.append((s, probs_dev, stage_bits, counts))
+        if keep_device:
+            pending.append(
+                (s, probs_dev, cols, geo, sum(counts), counts, tv)
+            )
+        else:
+            pending.append((s, probs_dev, stage_bits, counts))
     PROF["enc_dispatch"] += time.time() - t_dispatch
+    if keep_device:
+        return pending
 
     # collect (device already fully dispatched; downloads overlap compute)
     out = []
@@ -538,6 +547,68 @@ def encode_chunk_probs_dev(params, cfg: ModelConfig, pyrs):
             )
             out.append((s, probs, stage_bits))
     return out
+
+
+def encode_gop_streams_rans(params, cfg: ModelConfig, pyramids):
+    """Occupancy streams with the ON-DEVICE entropy coder: probabilities
+    and ground-truth bits never leave the chip; per frame chunk the wire
+    is ONE rans-v1 blob (ops/rans.py).
+
+    rANS is LIFO, so segments are encoded in reverse decode order: levels
+    fine-to-coarse (the decoder reads coarse-to-fine), stages 7..0 within
+    a level; the per-level emissions are compacted on device into lane
+    streams and stitched host-side in decode order."""
+    f_total = len(pyramids)
+    s_num = pyramids[0].scale_num
+    chunk_blobs = []
+    total_bits = 0
+    for chunk in _frame_chunks(f_total):
+        pyrs = [pyramids[i] for i in chunk]
+        pending = encode_chunk_probs_dev(params, cfg, pyrs, keep_device=True)
+        states = rans_initial_states()
+        emis = {}
+        t0 = time.time()
+        for (s, probs_dev, cols, geo, total, counts, tv) in reversed(pending):
+            seg_b, seg_m = [], []
+            for stage in reversed(range(cfg.outstage)):
+                states, byts, mask = _rans_enc_seg(
+                    states, probs_dev[stage], cols[stage],
+                    geo["vox_fr"], geo["vox_j"], jnp.int32(total),
+                )
+                seg_b.append(byts)
+                seg_m.append(mask)
+            # decode order within a level = stage ascending
+            emis[s] = (
+                jnp.concatenate(seg_b[::-1], axis=0),
+                jnp.concatenate(seg_m[::-1], axis=0),
+            )
+        level_order = [p[0] for p in pending]  # decode (dispatch) order
+        lens_dev = jnp.stack(
+            [_lane_lens_stack(emis[s][1]) for s in level_order]
+        )
+        PROF["enc_rans_dispatch"] += time.time() - t0
+        with _prof("enc_rans_sync"):
+            lens_h = np.asarray(lens_dev)  # ONE host sync per chunk
+        outs = []
+        with _prof("enc_rans_compact"):
+            for k, s in enumerate(level_order):
+                ob = bucket_size(int(lens_h[k].max()))
+                _, out = rans_compact_emissions(
+                    emis[s][0], emis[s][1], out_bucket=ob
+                )
+                outs.append(np.asarray(out))
+                PROF["enc_bytes_down"] += out.size
+        lane_streams = [
+            b"".join(
+                outs[k][l, : int(lens_h[k][l])].tobytes()
+                for k in range(len(level_order))
+            )
+            for l in range(LANES)
+        ]
+        blob = pack_rans_blob(np.asarray(states), lane_streams)
+        chunk_blobs.append(blob)
+        total_bits += len(blob) * 8
+    return {"rans": chunk_blobs, "s_num": s_num}, total_bits
 
 
 def encode_gop_streams_dev(params, cfg: ModelConfig, pyramids):
@@ -573,22 +644,44 @@ def encode_gop_streams_dev(params, cfg: ModelConfig, pyramids):
 # ---------------------------------------------------------------- decode --
 
 
-def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows):
+def decode_gop_streams_rans(params, cfg: ModelConfig, wire, lows):
+    """Decode from per-chunk rans-v1 blobs: the entropy decode runs ON
+    device, chained into the stage loop — per level the host does ONE
+    download (the packed decoded bits, for shape derivation and the
+    final rebuild); probabilities never cross the wire."""
+    return decode_gop_streams_dev(
+        params, cfg, None, lows, rans_chunks=wire["rans"],
+        s_num=wire.get("s_num") or cfg.scale_num,
+    )
+
+
+def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
+                           rans_chunks=None, s_num=None):
     """Decode all frames coarse-to-fine with the device-resident chain.
 
     Per level: 8 serial {device stage-step -> host AC -> packed bits up}
     rounds (the structural minimum — stage i+1's context needs stage i's
-    bits), then a device transition.  Final coordinates are rebuilt
-    host-side from the decoded bits (no coordinate download).
+    bits), then a device transition.  With ``rans_chunks`` the AC hop is
+    replaced by the on-device rANS decode: no per-stage host round trip
+    at all.  Final coordinates are rebuilt host-side from the decoded
+    bits (no coordinate download).
     """
     from ..coding import binary_decode_batch, unpack_bitstream
     from ..ops.octree import np_octree_up
 
     f_total = len(lows)
-    s_num = len(frame_blobs[0])
+    if s_num is None:
+        s_num = len(frame_blobs[0])
     out_coords = [None] * f_total
-    for chunk in _frame_chunks(f_total):
+    for ci, chunk in enumerate(_frame_chunks(f_total)):
         f = len(chunk)
+        if rans_chunks is not None:
+            with _prof("dec_stream_up"):
+                r_states, r_flat, r_offs = unpack_rans_blob(rans_chunks[ci])
+                r_st = jnp.asarray(r_states)
+                r_cur = jnp.asarray(r_offs.astype(np.int32))
+                r_stream = jnp.asarray(r_flat)
+            PROF["dec_bytes_up"] += r_flat.nbytes
         base = [np.ascontiguousarray(lows[i], np.int32) for i in chunk]
         shapes = _LevelShapes(s_num, base)
         shapes.set_counts(s_num - 1, [len(c) for c in base])
@@ -617,32 +710,61 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows):
                     params, cfg, geo["code"], geo["nbr27"], jnp.int32(s)
                 )
                 occ_buf, vox_occ = _zero_buffers(f, cap, bv)
-            streams = [unpack_bitstream(frame_blobs[i][s]) for i in chunk]
-            occ_host = [
-                np.zeros((counts[i], 8), np.uint8) for i in range(f)
-            ]
             prev = jnp.zeros((f, bv // 8), jnp.uint8)
-            for stage in range(cfg.outstage):
-                with _prof("dec_dispatch"):
-                    occ_buf, vox_occ, pr = _stage_step(
-                        params, cfg, occ_buf, vox_occ, geo["code"],
-                        geo["nbr27"], xg, jnp.int32(stage), prev,
-                        geo["vox_brick"], geo["vox_slot"], geo["sel"],
+            total = sum(counts)
+            offs_f = np.concatenate([[0], np.cumsum(counts)])
+            if rans_chunks is not None:
+                # device entropy decode: zero host round trips inside the
+                # stage loop; ONE packed-bits download per level
+                bits_acc = jnp.zeros((cfg.outstage, tv), jnp.uint8)
+                for stage in range(cfg.outstage):
+                    with _prof("dec_dispatch"):
+                        occ_buf, vox_occ, pr = _stage_step(
+                            params, cfg, occ_buf, vox_occ, geo["code"],
+                            geo["nbr27"], xg, jnp.int32(stage), prev,
+                            geo["vox_brick"], geo["vox_slot"], geo["sel"],
+                        )
+                        r_st, r_cur, prev, bits_acc = _rans_dec_stage(
+                            r_st, r_cur, r_stream, pr, geo["vox_fr"],
+                            geo["vox_j"], jnp.int32(total), bits_acc,
+                            jnp.int32(stage), jnp.zeros((f, bv // 8), jnp.uint8),
+                        )
+                with _prof("dec_bits_down"):
+                    packed = np.asarray(_pack_tv(bits_acc))  # (8, tv/8)
+                PROF["dec_bytes_down"] += packed.nbytes
+                bits8 = np.unpackbits(packed, axis=-1)  # (8, tv)
+                occ_host = [
+                    np.ascontiguousarray(
+                        bits8[:, offs_f[i]: offs_f[i + 1]].T
                     )
-                with _prof("dec_probs_down"):
-                    pr_h = np.asarray(pr)
-                PROF["dec_bytes_down"] += pr_h.nbytes
-                probs = _split_probs(pr_h, counts)
-                with _prof("dec_ac"):
-                    decs = binary_decode_batch(
-                        probs, [streams[i][stage] for i in range(f)]
-                    )
-                for i in range(f):
-                    occ_host[i][:, stage] = decs[i]
-                if stage < cfg.outstage - 1:
-                    with _prof("dec_bits_up"):
-                        prev = _pack_bits_frames(decs, bv)
-                    PROF["dec_bytes_up"] += f * (bv // 8)
+                    for i in range(f)
+                ]
+            else:
+                streams = [unpack_bitstream(frame_blobs[i][s]) for i in chunk]
+                occ_host = [
+                    np.zeros((counts[i], 8), np.uint8) for i in range(f)
+                ]
+                for stage in range(cfg.outstage):
+                    with _prof("dec_dispatch"):
+                        occ_buf, vox_occ, pr = _stage_step(
+                            params, cfg, occ_buf, vox_occ, geo["code"],
+                            geo["nbr27"], xg, jnp.int32(stage), prev,
+                            geo["vox_brick"], geo["vox_slot"], geo["sel"],
+                        )
+                    with _prof("dec_probs_down"):
+                        pr_h = np.asarray(pr)
+                    PROF["dec_bytes_down"] += pr_h.nbytes
+                    probs = _split_probs(pr_h, counts)
+                    with _prof("dec_ac"):
+                        decs = binary_decode_batch(
+                            probs, [streams[i][stage] for i in range(f)]
+                        )
+                    for i in range(f):
+                        occ_host[i][:, stage] = decs[i]
+                    if stage < cfg.outstage - 1:
+                        with _prof("dec_bits_up"):
+                            prev = _pack_bits_frames(decs, bv)
+                        PROF["dec_bytes_up"] += f * (bv // 8)
             for i in range(f):
                 all_bits[i][s] = occ_host[i]
             if s > 0:
@@ -658,9 +780,12 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows):
                                 for i in range(f)
                             ],
                         )
-                    last = _pack_bits_frames(
-                        [occ_host[i][:, 7] for i in range(f)], bv
-                    )
+                    if rans_chunks is not None:
+                        last = prev  # stage-7 column, already on device
+                    else:
+                        last = _pack_bits_frames(
+                            [occ_host[i][:, 7] for i in range(f)], bv
+                        )
                     coords, keys = _transition(
                         coords, keys, vox_occ, last,
                         bucket_size(max(shapes.n_vox[s - 1])),

@@ -167,3 +167,71 @@ def test_f16_prob_freq_stability():
     f_np = np_freq1_from_prob(p16.astype(np.float32), v)
     np.testing.assert_array_equal(f_dev, f_np)
     assert f_dev.min() >= 1 and f_dev.max() <= PROB_SCALE - 1
+
+
+# ------------------------------------------------- codec-path integration --
+
+
+def _codec_setup(n_frames, n_pts=3000):
+    import jax
+    from linr_pcgc_tpu.data import PyramidDataset, synthetic_cloud
+    from linr_pcgc_tpu.models import ModelConfig, init_params
+
+    frames = [synthetic_cloud(n_pts, depth=7, seed=s) for s in range(n_frames)]
+    ds = PyramidDataset(frames, handle_dir=None)
+    ds[0]
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    pyrs = [ds[i] for i in range(n_frames)]
+    return cfg, params, pyrs, frames
+
+
+def test_rans_codec_multichunk_lossless(monkeypatch):
+    """3 frames through a 2-frame chunk size: two independent rANS chunk
+    blobs, state chains within each, lossless roundtrip across both."""
+    from linr_pcgc_tpu.runtime import dev_codec
+    from linr_pcgc_tpu.runtime.codec import (
+        decode_gop_streams,
+        encode_gop_streams,
+    )
+
+    monkeypatch.setattr(dev_codec, "CODEC_FRAME_CHUNK", 2)
+    cfg, params, pyrs, frames = _codec_setup(3)
+    wire, bits = encode_gop_streams(params, cfg, pyrs)
+    assert isinstance(wire, dict) and len(wire["rans"]) == 2
+    decoded = decode_gop_streams(params, cfg, wire, [p.low_coords for p in pyrs])
+    for dec, f in zip(decoded, frames):
+        np.testing.assert_array_equal(dec, np.unique(f - f.min(axis=0), axis=0))
+
+
+def test_rans_vs_ac_rate_parity(monkeypatch):
+    """The device rANS wire must cost ~the same bits as the host AC wire
+    (same 16-bit probability staircase resolution; rANS adds one
+    LANES x {state,len} header per chunk, AC adds per-(frame,scale,stage)
+    stream framing)."""
+    from linr_pcgc_tpu.runtime.codec import encode_gop_streams
+
+    cfg, params, pyrs, _ = _codec_setup(2)
+    wire_r, bits_rans = encode_gop_streams(params, cfg, pyrs)
+    assert isinstance(wire_r, dict)
+    monkeypatch.setenv("LINR_CODEC_ENTROPY", "ac")
+    wire_a, bits_ac = encode_gop_streams(params, cfg, pyrs)
+    assert not isinstance(wire_a, dict)
+    # untrained probs ~ 1 bit/symbol; headers are noise at this size
+    assert abs(bits_rans - bits_ac) / bits_ac < 0.05, (bits_rans, bits_ac)
+
+
+def test_ac_fallback_lossless(monkeypatch):
+    """LINR_CODEC_ENTROPY=ac restores the host-AC wire end to end."""
+    from linr_pcgc_tpu.runtime.codec import (
+        decode_gop_streams,
+        encode_gop_streams,
+    )
+
+    monkeypatch.setenv("LINR_CODEC_ENTROPY", "ac")
+    cfg, params, pyrs, frames = _codec_setup(2)
+    blobs, _ = encode_gop_streams(params, cfg, pyrs)
+    assert isinstance(blobs, list)
+    decoded = decode_gop_streams(params, cfg, blobs, [p.low_coords for p in pyrs])
+    for dec, f in zip(decoded, frames):
+        np.testing.assert_array_equal(dec, np.unique(f - f.min(axis=0), axis=0))
