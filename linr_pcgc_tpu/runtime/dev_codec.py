@@ -697,6 +697,12 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
         )
 
         all_bits = [[None] * s_num for _ in range(f)]  # [i][s] -> (n, 8)
+        # incremental host rebuild state (rANS path): the octree_up chain
+        # runs INSIDE the level loop, overlapped with the next level's
+        # device compute — ``pending_up`` holds the last level's decoded
+        # occupancies not yet applied to ``cur_coords``
+        cur_coords = list(base)
+        pending_up = None
         for s in range(s_num - 1, -1, -1):
             bv, cap, tv = shapes.buckets(s)
             coords, keys = _resize_coords(coords, keys, bv)
@@ -729,8 +735,18 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
                             geo["vox_j"], jnp.int32(total), bits_acc,
                             jnp.int32(stage), jnp.zeros((f, bv // 8), jnp.uint8),
                         )
+                bits_packed_dev = _pack_tv(bits_acc)  # dispatch, no sync
+                if pending_up is not None:
+                    # overlap: the device is busy with this level's stage
+                    # chain; rebuild the PREVIOUS level's coordinates now
+                    with _prof("dec_rebuild"):
+                        cur_coords = [
+                            np_octree_up(cur_coords[i], pending_up[i])
+                            for i in range(f)
+                        ]
+                    pending_up = None
                 with _prof("dec_bits_down"):
-                    packed = np.asarray(_pack_tv(bits_acc))  # (8, tv/8)
+                    packed = np.asarray(bits_packed_dev)  # (8, tv/8)
                 PROF["dec_bytes_down"] += packed.nbytes
                 bits8 = np.unpackbits(packed, axis=-1)  # (8, tv)
                 occ_host = [
@@ -739,6 +755,7 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
                     )
                     for i in range(f)
                 ]
+                pending_up = occ_host
             else:
                 streams = [unpack_bitstream(frame_blobs[i][s]) for i in chunk]
                 occ_host = [
@@ -773,13 +790,15 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
                         s - 1, [int(occ_host[i].sum()) for i in range(f)]
                     )
                     if s - 1 == s_num - 2:
-                        shapes.set_top_coords(
-                            s - 1,
-                            [
-                                np_octree_up(base[i], occ_host[i])
+                        # needs this level's bits applied NOW (shapes for
+                        # the next level derive from its coordinates)
+                        with _prof("dec_rebuild"):
+                            cur_coords = [
+                                np_octree_up(cur_coords[i], occ_host[i])
                                 for i in range(f)
-                            ],
-                        )
+                            ]
+                        pending_up = None
+                        shapes.set_top_coords(s - 1, cur_coords)
                     if rans_chunks is not None:
                         last = prev  # stage-7 column, already on device
                     else:
@@ -793,9 +812,18 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
 
         # host reconstruction from decoded bits (no coordinate download)
         with _prof("dec_rebuild"):
-            for i in range(f):
-                cur = base[i]
-                for s in range(s_num - 1, -1, -1):
-                    cur = np_octree_up(cur, all_bits[i][s])
-                out_coords[chunk[i]] = cur
+            if rans_chunks is not None:
+                if pending_up is not None:  # level 0's bits
+                    cur_coords = [
+                        np_octree_up(cur_coords[i], pending_up[i])
+                        for i in range(f)
+                    ]
+                for i in range(f):
+                    out_coords[chunk[i]] = cur_coords[i]
+            else:
+                for i in range(f):
+                    cur = base[i]
+                    for s in range(s_num - 1, -1, -1):
+                        cur = np_octree_up(cur, all_bits[i][s])
+                    out_coords[chunk[i]] = cur
     return out_coords
