@@ -30,6 +30,7 @@ slots keep the dense brick convolution exactly submanifold.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 import jax
@@ -749,10 +750,22 @@ def _sm_acc(dt):
     return jnp.float32 if dt == jnp.float32 else dt
 
 
+def _conv_kernel_mode() -> str:
+    """'pallas' routes the three conv matmuls through the plane-blocked
+    Mosaic kernels (ops/pallas_conv.py: 4x fewer FLOPs at C=8, windows
+    sliced in VMEM); 'xla' (default) keeps the dense einsums."""
+    return os.environ.get("LINR_CONV_KERNEL", "xla")
+
+
 def _b4_convsm_forward(x, w, nbr27):
     dt = x.dtype
+    c, o = w.shape[-2], w.shape[-1]
     h = jax.lax.optimization_barrier(_b4_halo_sm_forward(x, nbr27))
     w2 = b4_conv_weight_matrix_sm(w).astype(dt)  # (S, 216*C, 64*O)
+    if _conv_kernel_mode() == "pallas":
+        from .pallas_conv import plane_matmul
+
+        return plane_matmul(h, w2, c, o)
     return jnp.einsum(
         "bsk,skn->bsn", h, w2,
         precision=_sm_prec(dt), preferred_element_type=_sm_acc(dt),
@@ -782,15 +795,23 @@ def _b4_convsm_bwd(res, dy):
     # dx: transposed conv — flipped taps, (C, O) roles swapped
     wt_src = jnp.swapaxes(w[..., _FLIP, :, :], -1, -2)  # (S, 27, O, C)
     wt = b4_conv_weight_matrix_sm(wt_src).astype(dt)  # (S, 216*O, 64*C)
-    dx = jnp.einsum(
-        "bsj,sjm->bsm", g, wt,
-        precision=_sm_prec(dt), preferred_element_type=_sm_acc(dt),
-    ).astype(dt)
-    # dw: brick-contracted moment, then the static tap selection
-    m = jnp.einsum(
-        "bsu,bsj->suj", x, g,
-        precision=_sm_prec(dt), preferred_element_type=jnp.float32,
-    ).reshape(s, B4_SLOTS, c, B4_HALO_VOL, o)
+    if _conv_kernel_mode() == "pallas":
+        from .pallas_conv import plane_matmul, plane_moment
+
+        dx = plane_matmul(g, wt, o, c)
+        m = plane_moment(x, g, c, o).reshape(
+            s, B4_SLOTS, c, B4_HALO_VOL, o
+        )
+    else:
+        dx = jnp.einsum(
+            "bsj,sjm->bsm", g, wt,
+            precision=_sm_prec(dt), preferred_element_type=_sm_acc(dt),
+        ).astype(dt)
+        # dw: brick-contracted moment, then the static tap selection
+        m = jnp.einsum(
+            "bsu,bsj->suj", x, g,
+            precision=_sm_prec(dt), preferred_element_type=jnp.float32,
+        ).reshape(s, B4_SLOTS, c, B4_HALO_VOL, o)
     # tap k pairs x at voxel u with dy at u - off_k = halo position
     # SEL[flip(k), u, :]
     dw = jnp.einsum(
