@@ -45,7 +45,9 @@ from .network import ModelConfig, _PREC, F32, LN2, stack_outer_blocks
 from ..ops.superbricks import (
     B4_HALO_VOL,
     B4_SLOTS,
+    _conv_kernel_mode,
     b4_convsm,
+    b4_convsm_bm,
     b4_halo_sm,
     b4_conv_weight_matrix_sm,
     SB_SLOTS,
@@ -124,6 +126,13 @@ def b4conv3_sm(x, geom, w, b):
     dt = geom["dtype"]
     bb, s, vc = x.shape
     o = w.shape[-1]
+    if _conv_kernel_mode() == "pallas":
+        # epilogue fused in-kernel: a pallas_call is a fusion boundary,
+        # so bias+mask would otherwise cost an extra pass over y
+        y = b4_convsm_bm(
+            x.astype(dt), w, b, geom["mask"][:, 0, 0, :], geom["nbr27"]
+        )
+        return checkpoint_name(y.astype(dt), ACT)
     y = b4_convsm(x.astype(dt), w, geom["nbr27"])
     # bias + mask in the FLAT layout: a (Bb, S, 64, O<=24) view pays the
     # 128-lane tile pad at materialization (docs/DESIGN.md layout laws);

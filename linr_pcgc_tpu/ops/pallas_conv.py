@@ -78,37 +78,83 @@ def _fwd_kernel(h_ref, w_ref, o_ref, *, kc: int, no: int):
         ).astype(o_ref.dtype)
 
 
-def plane_matmul(h, w2, kc: int, no: int):
-    """y = h @ w2 through the 4 output-plane windows.
+def _fwd_bm_kernel(h_ref, w_ref, b_ref, m_ref, o_ref, *, kc: int, no: int):
+    """Forward with the conv epilogue fused: y = (h @ w2 + bias) * mask.
+
+    A pallas_call is a fusion boundary — XLA cannot sink the bias/mask
+    elementwise pass into the kernel the way it sinks it into a dot, so
+    the kernel does it itself (saves one read+write of y per conv).
+    b_ref (1, 1, 64*no) pre-tiled over slots; m_ref (T, 1, 64) slot mask.
+    """
+    for p in range(B4):
+        hk = h_ref[:, 0, p * B4_PLANE * kc: (p + 3) * B4_PLANE * kc]
+        wk = w_ref[
+            0,
+            p * B4_PLANE * kc: (p + 3) * B4_PLANE * kc,
+            p * 16 * no: (p + 1) * 16 * no,
+        ]
+        acc = jnp.dot(hk, wk, preferred_element_type=jnp.float32)
+        acc = acc + b_ref[0, 0, p * 16 * no: (p + 1) * 16 * no][None, :]
+        mrep = jnp.repeat(
+            m_ref[:, 0, p * 16: (p + 1) * 16], no, axis=-1
+        )
+        o_ref[:, 0, p * 16 * no: (p + 1) * 16 * no] = (
+            acc * mrep.astype(jnp.float32)
+        ).astype(o_ref.dtype)
+
+
+def plane_matmul(h, w2, kc: int, no: int, bias=None, mask=None):
+    """y = h @ w2 through the 4 output-plane windows, with the conv
+    epilogue optionally fused.
 
     h (Bb, S, 216*kc); w2 (S, 216*kc, 64*no) — the dense slot-major conv
-    matrix (ops/superbricks.b4_conv_weight_matrix_sm); returns
-    (Bb, S, 64*no) in h.dtype.  Equals the dense einsum exactly up to
-    f32-accumulation grouping (the skipped rows are structural zeros).
+    matrix (ops/superbricks.b4_conv_weight_matrix_sm); bias (S, 64*no)
+    slot-tiled and mask (Bb, 64) must be passed together; returns
+    (Bb, S, 64*no) in h.dtype.  Equals the dense einsum (+bias)*mask
+    exactly up to f32-accumulation grouping (the skipped rows are
+    structural zeros).
     """
     bb, s, hk = h.shape
     assert hk == B4_HALO_VOL * kc and w2.shape == (s, hk, B4_SLOTS * no)
+    assert (bias is None) == (mask is None)
     nb = pl.cdiv(bb, TILE_B)
+    in_specs = [
+        pl.BlockSpec(
+            (TILE_B, 1, hk), lambda si, i: (i, si, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, hk, B4_SLOTS * no), lambda si, i: (si, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [h, w2]
+    if bias is None:
+        kern = functools.partial(_fwd_kernel, kc=kc, no=no)
+    else:
+        kern = functools.partial(_fwd_bm_kernel, kc=kc, no=no)
+        in_specs += [
+            pl.BlockSpec(
+                (1, 1, B4_SLOTS * no), lambda si, i: (si, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TILE_B, 1, B4_SLOTS), lambda si, i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        operands += [bias[:, None, :], mask[:, None, :]]
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, kc=kc, no=no),
+        kern,
         grid=(s, nb),  # s outer: the stage's weight block stays resident
-        in_specs=[
-            pl.BlockSpec(
-                (TILE_B, 1, hk), lambda si, i: (i, si, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, hk, B4_SLOTS * no), lambda si, i: (si, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (TILE_B, 1, B4_SLOTS * no), lambda si, i: (i, si, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((bb, s, B4_SLOTS * no), h.dtype),
         interpret=_interpret(),
-    )(h, w2)
+    )(*operands)
 
 
 def _moment_kernel(x_ref, g_ref, m_ref, *, kc: int, no: int, bb: int):

@@ -824,6 +824,77 @@ def _b4_convsm_bwd(res, dy):
 b4_convsm.defvjp(_b4_convsm_fwd, _b4_convsm_bwd)
 
 
+# -------------------------- conv + epilogue, fully fused (pallas mode) --
+#
+# y = (conv(x) + bias) * mask.  On the XLA path the bias/mask elementwise
+# epilogue fuses into the conv einsum for free, but a pallas_call is a
+# fusion boundary: without kernel-side fusion the epilogue costs one
+# extra read+write of y per conv.  This wrapper carries the epilogue
+# through the plane-blocked kernel and its VJP:
+#
+#   dy_masked = dy * mask            (fuses into the halo gather reads)
+#   dx, dw    = conv backward of dy_masked (one halo exchange, as above)
+#   db[s,o]   = sum over bricks and slots of dy_masked
+
+
+def _b4_convsm_bm_forward(x, w, b, mask, nbr27):
+    from .pallas_conv import plane_matmul
+
+    dt = x.dtype
+    c, o = w.shape[-2], w.shape[-1]
+    h = jax.lax.optimization_barrier(_b4_halo_sm_forward(x, nbr27))
+    w2 = b4_conv_weight_matrix_sm(w).astype(dt)
+    bias = jnp.tile(b, (1, B4_SLOTS)).astype(dt)  # (S, 64*O)
+    return plane_matmul(h, w2, c, o, bias=bias, mask=mask.astype(dt))
+
+
+@jax.custom_vjp
+def b4_convsm_bm(x, w, b, mask, nbr27):
+    """Plane-blocked conv with the bias+mask epilogue fused in-kernel:
+    x (Bb, S, 64*C), w (S, 27, C, O), b (S, O), mask (Bb, 64) ->
+    (Bb, S, 64*O).  Pallas-mode twin of b4_convsm + caller epilogue."""
+    return _b4_convsm_bm_forward(x, w, b, mask, nbr27)
+
+
+def _b4_convsm_bm_fwd(x, w, b, mask, nbr27):
+    return (
+        _b4_convsm_bm_forward(x, w, b, mask, nbr27),
+        (x, w, b, mask, nbr27),
+    )
+
+
+def _b4_convsm_bm_bwd(res, dy):
+    from .pallas_conv import plane_matmul, plane_moment
+
+    x, w, b, mask, nbr27 = res
+    dt = x.dtype
+    bb, s, vc = x.shape
+    c = vc // B4_SLOTS
+    o = dy.shape[-1] // B4_SLOTS
+    dym = dy.astype(dt) * jnp.repeat(mask, o, axis=-1)[:, None, :].astype(dt)
+    g = jax.lax.optimization_barrier(_b4_halo_sm_forward(dym, nbr27))
+    wt_src = jnp.swapaxes(w[..., _FLIP, :, :], -1, -2)
+    wt = b4_conv_weight_matrix_sm(wt_src).astype(dt)
+    dx = plane_matmul(g, wt, o, c)
+    m = plane_moment(x, g, c, o).reshape(s, B4_SLOTS, c, B4_HALO_VOL, o)
+    dw = jnp.einsum(
+        "kuj,sucjo->skco", _SEL_B4[np.asarray(_FLIP)], m.astype(jnp.float32)
+    )
+    db = jnp.sum(
+        dym.astype(jnp.float32).reshape(bb, s, B4_SLOTS, o), axis=(0, 2)
+    )
+    return (
+        dx,
+        dw.astype(w.dtype),
+        db.astype(b.dtype),
+        jnp.zeros_like(mask),  # geom constant, but float -> real zeros
+        np.zeros(nbr27.shape, dtype=jax.dtypes.float0),
+    )
+
+
+b4_convsm_bm.defvjp(_b4_convsm_bm_fwd, _b4_convsm_bm_bwd)
+
+
 # --------------------------------------------------- device brickify ----
 #
 # The codec's per-level geometry (brick structure, neighbor maps,

@@ -98,3 +98,53 @@ def test_b4_convsm_pallas_mode_matches_xla(monkeypatch):
     np.testing.assert_allclose(y_p, y_x, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(gx_p, gx_x, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(gw_p, gw_x, rtol=1e-4, atol=1e-4)
+
+
+def test_b4_convsm_bm_fused_epilogue_matches_unfused():
+    """The bias+mask-fused kernel (b4_convsm_bm) equals conv -> +bias ->
+    *mask composed from the plain conv, for the value and all grads
+    (x, w, b); the mask cotangent is zeros (geometry constant)."""
+    from linr_pcgc_tpu.ops import superbricks as sbops
+
+    rng = np.random.default_rng(11)
+    bb, s, c, o = 50, 2, 4, 3
+    x = _rand((bb, s, B4_SLOTS * c), 12)
+    w = _rand((s, 27, c, o), 13) * 0.3
+    b = _rand((s, o), 14)
+    mask = jnp.asarray(
+        (rng.uniform(size=(bb, B4_SLOTS)) < 0.7).astype(np.float32)
+    )
+    sites = rng.choice(5 * 5 * 5, size=bb, replace=False)
+    coords = np.stack([sites // 25, (sites // 5) % 5, sites % 5], axis=1)
+    lut = {tuple(cc): i for i, cc in enumerate(coords)}
+    nbr = np.full((bb, 27), -1, np.int32)
+    for i in range(bb):
+        for d_i, d in enumerate(_DIRS):
+            key = tuple(coords[i] + np.asarray(d))
+            if key in lut:
+                nbr[i, d_i] = lut[key]
+    nbr = jnp.asarray(nbr)
+    ct = _rand((bb, s, B4_SLOTS * o), 15)
+
+    def ref(xx, ww, bb_):
+        y = sbops.b4_convsm(xx, ww, nbr)
+        y = y + jnp.tile(bb_, (1, B4_SLOTS))[None]
+        return y * jnp.repeat(mask, o, axis=-1)[:, None, :]
+
+    def fused(xx, ww, bb_):
+        return sbops.b4_convsm_bm(xx, ww, bb_, mask, nbr)
+
+    np.testing.assert_allclose(
+        np.asarray(fused(x, w, b)), np.asarray(ref(x, w, b)),
+        rtol=1e-5, atol=1e-5,
+    )
+    g_r = jax.grad(
+        lambda *a: jnp.sum(ref(*a) * ct), argnums=(0, 1, 2)
+    )(x, w, b)
+    g_f = jax.grad(
+        lambda *a: jnp.sum(fused(*a) * ct), argnums=(0, 1, 2)
+    )(x, w, b)
+    for a, e in zip(g_f, g_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), rtol=1e-4, atol=1e-4
+        )
