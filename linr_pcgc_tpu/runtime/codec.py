@@ -466,6 +466,10 @@ def encode_gop(
         # a grouping mismatch must fail loudly, not corrupt silently
         # (costed at 32 bits/frame below)
         frame_points=[int(p.point_num) for p in pyramids],
+        # bit-exactness discipline (docs/DESIGN.md): the probability
+        # producer must be the SAME executable on both codec sides, so
+        # the numerics knobs that select it travel with the bitstream
+        numerics=_numerics_info(),
     )
     with open(os.path.join(result_dir, "side_info.json"), "w") as f:
         json.dump(side_info, f, indent=4)
@@ -502,6 +506,21 @@ def encode_gop(
     }
 
 
+def _numerics_info() -> dict:
+    """The knobs that select the probability-producer executable: the
+    codec compute dtype and the conv kernel implementation.  Recorded in
+    side_info at encode; the decoder must match them exactly or the
+    arithmetic/rANS decode diverges (same discipline as CUDA numerics on
+    both sides in the reference)."""
+    from ..ops.superbricks import _conv_kernel_mode
+    from .dev_codec import CDT
+
+    return {
+        "dtype": "f32" if CDT == jnp.float32 else "bf16",
+        "conv_kernel": _conv_kernel_mode(),
+    }
+
+
 def decode_gop(
     enc_dir: str,
     dec_dir: str | None,
@@ -532,6 +551,17 @@ def decode_gop(
 
     if cfg is None:
         cfg = cfg_from_side_info(side_info)
+
+    enc_num = side_info.get("numerics")
+    if enc_num is not None and _use_sb(cfg):
+        dec_num = _numerics_info()
+        if dec_num != enc_num:
+            raise ValueError(
+                f"decoder numerics {dec_num} do not match the encoder's "
+                f"{enc_num}: the probability executables would differ and "
+                "the entropy decode diverges.  Set LINR_CODEC_DTYPE / "
+                "LINR_CONV_KERNEL to the encoder's values."
+            )
 
     template = params_template(cfg)
     n_params = len(np.asarray(flatten_params(template)))

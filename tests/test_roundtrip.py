@@ -316,6 +316,33 @@ def test_grouping_mismatch_fails_loudly(tmp_path):
         decode_gop(enc_dir, None, cfg=None)
 
 
+def test_numerics_mismatch_fails_loudly(tmp_path, monkeypatch):
+    """The codec dtype / conv-kernel knobs select the probability
+    executable; side_info records them at encode and a decoder running
+    different numerics must refuse (probabilities would diverge) rather
+    than emit garbage."""
+    import json
+
+    ds, frames = small_dataset(1, n_pts=1000)
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    params = init_params(jax.random.PRNGKey(8), cfg)
+    from linr_pcgc_tpu.runtime.overfit import adam_init as _ai, save_checkpoint
+
+    model_path = str(tmp_path / "model.npz")
+    save_checkpoint(model_path, params, _ai(params), 0.01, 0, 1.0, 8)
+    enc_dir = str(tmp_path / "enc" / "gop_0_0")
+    monkeypatch.delenv("LINR_CONV_KERNEL", raising=False)
+    encode_gop(model_path, [ds[0]], enc_dir, cfg)
+
+    with open(os.path.join(enc_dir, "side_info.json")) as f:
+        side = json.load(f)
+    assert side["numerics"]["conv_kernel"] == "xla"
+
+    monkeypatch.setenv("LINR_CONV_KERNEL", "pallas")
+    with pytest.raises(ValueError, match="numerics"):
+        decode_gop(enc_dir, None, cfg=None)
+
+
 def test_overfit_resume(tmp_path):
     """Interrupted GOP training continues from its own checkpoint."""
     from linr_pcgc_tpu.runtime import overfit_gop
