@@ -39,6 +39,7 @@ reproduced: MinkowskiConvolution 3^3 (generative sparse conv), cf.
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -78,13 +79,18 @@ def _fwd_kernel(h_ref, w_ref, o_ref, *, kc: int, no: int):
         ).astype(o_ref.dtype)
 
 
-def _fwd_bm_kernel(h_ref, w_ref, b_ref, m_ref, o_ref, *, kc: int, no: int):
+def _fwd_bm_kernel(
+    h_ref, w_ref, b_ref, m_ref, e_ref, o_ref, *, kc: int, no: int
+):
     """Forward with the conv epilogue fused: y = (h @ w2 + bias) * mask.
 
     A pallas_call is a fusion boundary — XLA cannot sink the bias/mask
     elementwise pass into the kernel the way it sinks it into a dot, so
     the kernel does it itself (saves one read+write of y per conv).
-    b_ref (1, 1, 64*no) pre-tiled over slots; m_ref (T, 1, 64) slot mask.
+    b_ref (1, 1, 64*no) pre-tiled over slots; m_ref (T, 1, 64) slot mask;
+    e_ref (1, 16, 16*no) the mask's slot->channel-minor expansion matrix
+    (a tiny matmul — lane-splitting reshapes / jnp.repeat don't lower in
+    Mosaic, and Pallas kernels cannot capture array constants).
     """
     for p in range(B4):
         hk = h_ref[:, 0, p * B4_PLANE * kc: (p + 3) * B4_PLANE * kc]
@@ -95,11 +101,13 @@ def _fwd_bm_kernel(h_ref, w_ref, b_ref, m_ref, o_ref, *, kc: int, no: int):
         ]
         acc = jnp.dot(hk, wk, preferred_element_type=jnp.float32)
         acc = acc + b_ref[0, 0, p * 16 * no: (p + 1) * 16 * no][None, :]
-        mrep = jnp.repeat(
-            m_ref[:, 0, p * 16: (p + 1) * 16], no, axis=-1
+        mrep = jnp.dot(
+            m_ref[:, 0, p * 16: (p + 1) * 16].astype(jnp.float32),
+            e_ref[0],
+            preferred_element_type=jnp.float32,
         )
         o_ref[:, 0, p * 16 * no: (p + 1) * 16 * no] = (
-            acc * mrep.astype(jnp.float32)
+            acc * mrep
         ).astype(o_ref.dtype)
 
 
@@ -142,8 +150,19 @@ def plane_matmul(h, w2, kc: int, no: int, bias=None, mask=None):
                 (TILE_B, 1, B4_SLOTS), lambda si, i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (1, 16, 16 * no), lambda si, i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ]
-        operands += [bias[:, None, :], mask[:, None, :]]
+        e = np.zeros((16, 16 * no), np.float32)
+        for i in range(16):
+            e[i, i * no: (i + 1) * no] = 1.0
+        operands += [
+            bias[:, None, :],
+            mask[:, None, :],
+            jnp.asarray(e)[None],
+        ]
     return pl.pallas_call(
         kern,
         grid=(s, nb),  # s outer: the stage's weight block stays resident
