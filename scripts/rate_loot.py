@@ -95,6 +95,11 @@ def main():
             "gop": args.gop,
             "first_epoch": args.first_epoch,
             "others_epoch": args.others_epoch,
+            "wall_s_note": (
+                "wall_s includes XLA compilation for whichever arm first "
+                "traces a given (shape, dtype) — compare trajectories, not "
+                "first-arm wall clocks (round-2 verdict weak #6)"
+            ),
             "reference": {
                 "loot_bpp_all_epoch70": 0.51397,
                 "loot_cold_epoch0_to_4": [1.495, 0.569],
