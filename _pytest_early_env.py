@@ -12,6 +12,23 @@ with capture files.
 import os
 import sys
 
+# The suite JITs hundreds of large unrolled graphs in one process; XLA's
+# CPU compiler recurses deeply on them, and the default 8 MB stack has
+# produced flaky late-run SIGSEGVs inside backend_compile / cache
+# deserialization on this box.  The hard limit is unlimited — lift the
+# soft limit before jax initializes.
+try:
+    import resource
+
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _want = 512 * 1024 * 1024
+    if _soft != resource.RLIM_INFINITY and (
+        _hard == resource.RLIM_INFINITY or _hard >= _want
+    ):
+        resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
+except Exception:
+    pass
+
 if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get(
     "_LINR_TESTS_REEXECED"
 ):
