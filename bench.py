@@ -20,6 +20,16 @@ def log(msg):
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
+# lift the 8 MB stack soft limit before jax initializes (cf. _pytest_early_env.py)
+try:
+    import resource
+
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    if _soft != resource.RLIM_INFINITY:
+        resource.setrlimit(resource.RLIMIT_STACK, (512 * 1024 * 1024, _hard))
+except Exception:
+    pass
+
 BASELINE_S_PER_FRAME_EPOCH = 0.64  # RTX 3090, loot (BASELINE.md)
 
 
