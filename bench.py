@@ -34,11 +34,17 @@ BASELINE_S_PER_FRAME_EPOCH = 0.64  # RTX 3090, loot (BASELINE.md)
 
 
 def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # the axon tunnel dies for hours at a time and a bare jax.devices()
+    # HANGS in that state (burned BENCH_r03.json): probe in a bounded
+    # subprocess loop and fail with one line, not a traceback
+    from linr_pcgc_tpu.utils.tpu_probe import require_tpu_or_exit
+
+    require_tpu_or_exit("bench.py", log=log)
+
     import jax
     import jax.numpy as jnp
     import numpy as np
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from linr_pcgc_tpu.data import synthetic_cloud, PyramidDataset
     from linr_pcgc_tpu.models import ModelConfig, init_params
     from linr_pcgc_tpu.runtime import TrainConfig, assemble_gop, adam_init, make_epoch_fn

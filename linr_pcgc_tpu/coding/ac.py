@@ -141,19 +141,28 @@ def binary_estimate_bits(prob, bits) -> float:
 # Reusable output buffer for binary_encode_batch: a fresh np.empty per
 # call costs a first-touch page fault per 4 KB of the (worst-case-sized,
 # 3n+64 per stream) buffer — measured 13 vs 48 M sym/s cold vs warm.
-# Not thread-safe; the codec drives the host coder from one thread.
-_enc_out_buf = np.zeros(0, np.uint8)
+# THREAD-LOCAL so a second concurrent encoder (e.g. evaluate alongside
+# encode) gets its own buffer instead of silently corrupting streams
+# before .tobytes() copies them out (round-3 advisor).  The buffer grows
+# to the largest batch a thread ever encodes and is kept warm on purpose;
+# it is released with the thread.
+_enc_tls = threading.local()
 
 
 def _enc_out(total: int) -> np.ndarray:
-    global _enc_out_buf
-    if _enc_out_buf.size < total:
-        _enc_out_buf = np.zeros(int(total * 5 // 4), np.uint8)
-    return _enc_out_buf
+    buf = getattr(_enc_tls, "buf", None)
+    if buf is None or buf.size < total:
+        buf = np.zeros(int(total * 5 // 4), np.uint8)
+        _enc_tls.buf = buf
+    return buf
 
 
 def binary_encode_batch(probs: list, bits: list) -> list[bytes]:
-    """Encode many independent streams with one multithreaded native call."""
+    """Encode many independent streams with one multithreaded native call.
+
+    Reentrant: safe to call from multiple Python threads (each thread has
+    its own reusable output buffer; the native batch loop is stateless).
+    """
     m = len(probs)
     if m == 0:
         return []

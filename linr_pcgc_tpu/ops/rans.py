@@ -265,23 +265,46 @@ def np_rans_decode(states, lane_streams, seg_probs, seg_valid):
 # ------------------------------------------------------------ blob format --
 
 
+_V2_FLAG = np.uint32(0x80000000)  # high bit of the LANES word = has CRC32
+
+
 def pack_rans_blob(states: np.ndarray, lane_streams: list[bytes]) -> bytes:
-    """rans-v1 chunk blob: u32 LANES | LANES x u32 state | LANES x u32
-    length | concatenated lane streams."""
-    head = [np.asarray([LANES], np.uint32).tobytes()]
+    """rans-v2 chunk blob: u32 (LANES | 0x80000000) | u32 crc32(streams) |
+    LANES x u32 state | LANES x u32 length | concatenated lane streams.
+
+    The CRC covers the concatenated lane streams: a corrupted stream would
+    otherwise decode SILENTLY on device (clip-mode reads cross into the
+    next lane's bytes) and only surface at the frame_points backstop, far
+    from the corruption site (round-3 advisor).  v1 blobs (no flag bit,
+    no CRC) are still readable."""
+    import zlib
+
+    payload = b"".join(lane_streams)
+    head = [np.asarray([LANES | int(_V2_FLAG)], np.uint32).tobytes()]
+    head.append(
+        np.asarray([zlib.crc32(payload) & 0xFFFFFFFF], np.uint32).tobytes()
+    )
     head.append(np.asarray(states, np.uint32).tobytes())
     head.append(
         np.asarray([len(s) for s in lane_streams], np.uint32).tobytes()
     )
-    return b"".join(head + lane_streams)
+    return b"".join(head) + payload
 
 
 def unpack_rans_blob(blob: bytes):
     """-> (states (LANES,) u32, flat stream (B,) u8, lane byte offsets
-    (LANES,) i64 into the flat stream)."""
-    lanes = int(np.frombuffer(blob[:4], np.uint32)[0])
+    (LANES,) i64 into the flat stream).  Verifies the v2 CRC loudly."""
+    import zlib
+
+    word0 = int(np.frombuffer(blob[:4], np.uint32)[0])
+    has_crc = bool(word0 & int(_V2_FLAG))
+    lanes = word0 & ~int(_V2_FLAG)
     assert lanes == LANES, (lanes, LANES)
     off = 4
+    crc_stored = None
+    if has_crc:
+        crc_stored = int(np.frombuffer(blob[off: off + 4], np.uint32)[0])
+        off += 4
     states = np.frombuffer(blob[off: off + 4 * LANES], np.uint32).copy()
     off += 4 * LANES
     lens = np.frombuffer(blob[off: off + 4 * LANES], np.uint32).astype(np.int64)
@@ -289,6 +312,13 @@ def unpack_rans_blob(blob: bytes):
     flat = np.frombuffer(blob[off:], np.uint8)
     offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
     assert len(flat) == int(lens.sum()), (len(flat), int(lens.sum()))
+    if crc_stored is not None:
+        crc = zlib.crc32(flat.tobytes()) & 0xFFFFFFFF
+        if crc != crc_stored:
+            raise ValueError(
+                f"rans blob CRC mismatch: stored {crc_stored:#010x}, "
+                f"computed {crc:#010x} — corrupted lane streams"
+            )
     # one sentinel byte so clip-mode reads past the end (and fully empty
     # streams — every lane can fit in its 32-bit state) stay in bounds
     flat = np.concatenate([flat, np.zeros(1, np.uint8)])

@@ -286,7 +286,8 @@ def encode_frame(params, cfg: ModelConfig, pyr: FramePyramid) -> dict:
 
 
 def decode_gop_streams(
-    params, cfg: ModelConfig, frame_blobs: list, lows: list[np.ndarray]
+    params, cfg: ModelConfig, frame_blobs: list, lows: list[np.ndarray],
+    probs_mode=None,
 ):
     """Decode all frames of a GOP coarse-to-fine, stage-synchronous.
 
@@ -297,11 +298,15 @@ def decode_gop_streams(
     if isinstance(frame_blobs, dict) and "rans" in frame_blobs:
         from .dev_codec import decode_gop_streams_rans
 
-        return decode_gop_streams_rans(params, cfg, frame_blobs, lows)
+        return decode_gop_streams_rans(
+            params, cfg, frame_blobs, lows, probs_mode=probs_mode
+        )
     if _use_sb(cfg):
         from .dev_codec import decode_gop_streams_dev
 
-        return decode_gop_streams_dev(params, cfg, frame_blobs, lows)
+        return decode_gop_streams_dev(
+            params, cfg, frame_blobs, lows, probs_mode=probs_mode
+        )
     return decode_gop_streams_gather(params, cfg, frame_blobs, lows)
 
 
@@ -481,7 +486,9 @@ def encode_gop(
     log(f"encode GOP: {len(pyramids)} frames")
     blobs, total_bits = encode_gop_streams(params_used, cfg, pyramids)
     if isinstance(blobs, dict) and "rans" in blobs:
-        side_info["entropy"] = "rans-v1"
+        # v2 = v1 segment layout + a CRC32 of the lane streams in the blob
+        # header (ops/rans.py pack_rans_blob); the unpacker reads both
+        side_info["entropy"] = "rans-v2"
         with open(os.path.join(result_dir, "side_info.json"), "w") as f:
             json.dump(side_info, f, indent=4)
         for k, blob in enumerate(blobs["rans"]):
@@ -508,16 +515,20 @@ def encode_gop(
 
 def _numerics_info() -> dict:
     """The knobs that select the probability-producer executable: the
-    codec compute dtype and the conv kernel implementation.  Recorded in
-    side_info at encode; the decoder must match them exactly or the
+    codec compute dtype, the conv kernel implementation, and the probs
+    executable shape ("fused" cs=8 vs "stage" cs=1 — differently-shaped
+    programs are not bitwise-interchangeable).  Recorded in side_info at
+    encode; the decoder must match dtype/kernel exactly or the
     arithmetic/rANS decode diverges (same discipline as CUDA numerics on
-    both sides in the reference)."""
+    both sides in the reference).  The probs mode is ADOPTED by the
+    decoder rather than enforced (decode_gop passes it down)."""
     from ..ops.superbricks import _conv_kernel_mode
-    from .dev_codec import CDT
+    from .dev_codec import CDT, _probs_mode
 
     return {
         "dtype": "f32" if CDT == jnp.float32 else "bf16",
         "conv_kernel": _conv_kernel_mode(),
+        "probs": _probs_mode(),
     }
 
 
@@ -553,8 +564,16 @@ def decode_gop(
         cfg = cfg_from_side_info(side_info)
 
     enc_num = side_info.get("numerics")
+    probs_mode = None
     if enc_num is not None and _use_sb(cfg):
-        dec_num = _numerics_info()
+        enc_num = dict(enc_num)
+        # the probs executable shape travels with the bitstream and the
+        # decoder simply adopts it (pre-round-4 side_info carries no
+        # "probs" key: those streams were stage-serial)
+        probs_mode = enc_num.pop("probs", "stage")
+        dec_num = {
+            k: v for k, v in _numerics_info().items() if k != "probs"
+        }
         if dec_num != enc_num:
             raise ValueError(
                 f"decoder numerics {dec_num} do not match the encoder's "
@@ -568,7 +587,7 @@ def decode_gop(
     flat = decompress_params(n_params, side_info, model_blob)
     params = unflatten_params(template, jnp.asarray(flat))
 
-    if side_info.get("entropy") == "rans-v1":
+    if side_info.get("entropy") in ("rans-v1", "rans-v2"):
         chunk_files = sorted(
             globmod.glob(os.path.join(bins_dir, "chunk*.rans"))
         )
@@ -598,7 +617,9 @@ def decode_gop(
     if dec_dir is not None:
         os.makedirs(dec_dir, exist_ok=True)
 
-    coords_list = decode_gop_streams(params, cfg, frame_blobs, lows)
+    coords_list = decode_gop_streams(
+        params, cfg, frame_blobs, lows, probs_mode=probs_mode
+    )
     expect = side_info.get("frame_points")
     if expect is not None:
         got = [len(c) for c in coords_list]

@@ -245,6 +245,110 @@ def _stage_step(params, cfg: ModelConfig, occ_buf, vox_occ, code, nbr27,
     return occ_buf, vox_occ, jnp.take(pr, sel).astype(jnp.float16)
 
 
+@partial(jax.jit, donate_argnums=(3, 4))
+def _enc_occ_buffers(cols7, vox_brick, vox_slot, occ_buf, vox_occ):
+    """ENCODER-ONLY: scatter stage 0..6's ground-truth bit columns into
+    the brick occupancy buffer and the per-voxel occupancy in ONE
+    executable (the decoder fills these stage-by-stage in _stage_step;
+    the encoder knows every stage's bits up front — round-3 verdict next
+    #4).  Stage 7's bits never feed a prediction (occ7 = channels 0..6)
+    and reach _transition via its own packed column.
+
+    cols7: (7, F, Bv/8) packed; occ_buf (F*cap, 8, 64) and vox_occ
+    (F, Bv, 8) are donated zero buffers."""
+    f, bv = vox_brick.shape
+    cap = occ_buf.shape[0] // f
+    fr = jnp.broadcast_to(jnp.arange(f, dtype=jnp.int32)[:, None], (f, bv))
+    flat_b = jnp.where(
+        vox_brick >= 0, fr * cap + vox_brick, f * cap
+    ).reshape(-1)
+    jv = jnp.broadcast_to(
+        jnp.arange(bv, dtype=jnp.int32)[None], (f, bv)
+    ).reshape(-1)
+    slot_flat = vox_slot.reshape(-1)
+    fr_flat = fr.reshape(-1)
+    for stage in range(7):
+        bits = unpack_bits(cols7[stage])[:, :bv].astype(jnp.uint8).reshape(-1)
+        col = jnp.full_like(flat_b, stage)
+        occ_buf = occ_buf.at[flat_b, col, slot_flat].set(bits, mode="drop")
+        vox_occ = vox_occ.at[fr_flat, jv, col].set(bits, mode="drop")
+    return occ_buf, vox_occ
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _fused_probs(params, cfg: ModelConfig, occ_buf, code, nbr27,
+                 x_glob, sel):
+    """The SHARED all-stage probability executable (probs_mode="fused"):
+    sb_chunk_logits with cs=outstage — the training forward shape.
+
+    Bit-exactness discipline: differently-SHAPED XLA programs are not
+    bitwise-interchangeable (a cs=8 and a cs=1 compilation of the same
+    math were measured 1 ULP apart on ~0.02% of f16 probabilities —
+    reduction orders differ), so BOTH codec sides run THIS executable:
+
+      * the encoder fills all ground-truth occupancy columns up front
+        (_enc_occ_buffers) and calls it ONCE per level — the halo
+        exchange is gather ROW-rate bound (27 x Bb rows regardless of
+        the stage-batch width), so one cs=8 pass replaces 8 serial
+        `_stage_step` dispatches at far less than 8x the cost;
+      * the decoder calls it once per stage j on its PARTIAL occupancy
+        (columns >= j still zero) and keeps row j only.  Row j is
+        bitwise identical to the encoder's row j BY CONSTRUCTION: the
+        in-executable tri mask multiplies occupancy channel c by exactly
+        0.0 for c >= j, so the two calls' row-j compute consumes
+        identical values through the identical program — equality does
+        not rest on fusion luck across programs.
+
+    ``occ_buf`` is NOT donated: the decoder reuses it across stages.
+    Returns (outstage, tv) f16 probabilities in compacted voxel order.
+    """
+    from ..models.sb_network import sb_chunk_logits
+
+    mask = (code >= 0).astype(CDT)[:, None, None, :]
+    geom = dict(nbr27=nbr27, mask=mask, code=code, dtype=CDT)
+    logits = sb_chunk_logits(
+        params, cfg, geom, occ_buf.astype(CDT), jnp.int32(0),
+        cfg.outstage, x_glob,
+    )  # (Bb, outstage, slots)
+    pr = jax.nn.sigmoid(logits.astype(F32))
+    prs = pr.transpose(1, 0, 2).reshape(cfg.outstage, -1)
+    return jnp.take(prs, sel, axis=1).astype(jnp.float16)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_col(occ_buf, vox_occ, bits_packed, col, vox_brick, vox_slot):
+    """Scatter one stage's per-voxel bits into occupancy column ``col``
+    (traced) of the brick buffer and the per-voxel buffer — the integer
+    half of `_stage_step`, split out so the fused-probs decoder can
+    update state between `_fused_probs` calls."""
+    f, bv = vox_brick.shape
+    cap = occ_buf.shape[0] // f
+    bits = unpack_bits(bits_packed)[:, :bv].astype(jnp.uint8)
+    fr = jnp.broadcast_to(jnp.arange(f, dtype=jnp.int32)[:, None], (f, bv))
+    flat_b = jnp.where(
+        vox_brick >= 0, fr * cap + vox_brick, f * cap
+    ).reshape(-1)
+    occ_buf = occ_buf.at[
+        flat_b, jnp.broadcast_to(col, flat_b.shape), vox_slot.reshape(-1)
+    ].set(bits.reshape(-1), mode="drop")
+    jv = jnp.broadcast_to(
+        jnp.arange(bv, dtype=jnp.int32)[None], (f, bv)
+    ).reshape(-1)
+    vox_occ = vox_occ.at[
+        fr.reshape(-1), jv, jnp.broadcast_to(col, (f * bv,))
+    ].set(bits.reshape(-1), mode="drop")
+    return occ_buf, vox_occ
+
+
+def _probs_mode() -> str:
+    """Probability-producer selection: "fused" (one cs=8 executable,
+    shared by both sides — the default) or "stage" (8 x the cs=1
+    `_stage_step` executable, the pre-round-4 wire).  Travels with the
+    bitstream in side_info["numerics"]["probs"]; standalone decode adopts
+    the encoder's value (runtime/codec.py)."""
+    return os.environ.get("LINR_CODEC_PROBS", "fused")
+
+
 @partial(jax.jit, static_argnames=("out_bucket",), donate_argnums=(2,))
 def _transition(coords, keys, vox_occ, bits7_packed, out_bucket: int):
     """Apply the last stage's bits, then octree-up to the next level's
@@ -453,7 +557,8 @@ def _resize_coords(coords, keys, bv: int):
 # ---------------------------------------------------------------- encode --
 
 
-def encode_chunk_probs_dev(params, cfg: ModelConfig, pyrs, keep_device=False):
+def encode_chunk_probs_dev(params, cfg: ModelConfig, pyrs, keep_device=False,
+                           probs_mode=None):
     """Device-chain encode of one frame chunk: per level, the per-stage
     probability and ground-truth bit arrays (the decoder's exact
     executables; all 8 stage dispatches pipeline on device since the
@@ -466,6 +571,7 @@ def encode_chunk_probs_dev(params, cfg: ModelConfig, pyrs, keep_device=False):
     rANS sweep.
     """
     f = len(pyrs)
+    mode = probs_mode or _probs_mode()
     s_num = pyrs[0].scale_num
     shapes = _LevelShapes(
         s_num, [p.low_coords.astype(np.int32) for p in pyrs]
@@ -506,27 +612,50 @@ def encode_chunk_probs_dev(params, cfg: ModelConfig, pyrs, keep_device=False):
             ]
             for stage in range(cfg.outstage)
         ]
-        probs_dev, cols = [], []
-        prev = jnp.zeros((f, bv // 8), jnp.uint8)
-        for stage in range(cfg.outstage):
-            occ_buf, vox_occ, pr = _stage_step(
-                params, cfg, occ_buf, vox_occ, geo["code"], geo["nbr27"],
-                xg, jnp.int32(stage), prev, geo["vox_brick"],
-                geo["vox_slot"], geo["sel"],
+        cols = [
+            _pack_bits_frames(stage_bits[stage], bv)
+            for stage in range(cfg.outstage)
+        ]
+        if mode == "fused":
+            # ONE all-stage executable per level (round-3 verdict next
+            # #4): the encoder knows every stage's bits, so the 8 serial
+            # _stage_step dispatches collapse to one cs=8 pass — ~8x
+            # fewer gather-row-rate-bound halo exchanges
+            occ_buf, vox_occ = _enc_occ_buffers(
+                jnp.stack(cols[: cfg.outstage - 1]),
+                geo["vox_brick"], geo["vox_slot"], occ_buf, vox_occ,
             )
-            probs_dev.append(pr)
-            # stage's own ground-truth column: the NEXT stage's context
-            # and (keep_device) the rANS sweep's bit source
-            prev = _pack_bits_frames(stage_bits[stage], bv)
-            cols.append(prev)
+            prs = _fused_probs(
+                params, cfg, occ_buf, geo["code"], geo["nbr27"], xg,
+                geo["sel"],
+            )  # (outstage, tv) f16, device
+            probs_dev = [prs[stage] for stage in range(cfg.outstage)]
+        else:
+            probs_dev = []
+            prev = jnp.zeros((f, bv // 8), jnp.uint8)
+            for stage in range(cfg.outstage):
+                occ_buf, vox_occ, pr = _stage_step(
+                    params, cfg, occ_buf, vox_occ, geo["code"],
+                    geo["nbr27"], xg, jnp.int32(stage), prev,
+                    geo["vox_brick"], geo["vox_slot"], geo["sel"],
+                )
+                probs_dev.append(pr)
+                # stage's own ground-truth column = the NEXT stage's
+                # context
+                prev = cols[stage]
         if s > 0:
             coords, keys = _transition(
-                coords, keys, vox_occ, prev,  # = stage-7 column
+                coords, keys, vox_occ, cols[cfg.outstage - 1],
                 bucket_size(max(shapes.n_vox[s - 1])),
             )
         if keep_device:
+            # retain only the slim per-voxel maps for the rANS sweep —
+            # NOT the whole geo dict (code/nbr27 are the big int32
+            # arrays; dropping them lowers the encoder's HBM high-water
+            # mark, round-3 advisor)
             pending.append(
-                (s, probs_dev, cols, geo, sum(counts), counts, tv)
+                (s, probs_dev, cols, (geo["vox_fr"], geo["vox_j"]),
+                 sum(counts), counts, tv)
             )
         else:
             pending.append((s, probs_dev, stage_bits, counts))
@@ -568,12 +697,14 @@ def encode_gop_streams_rans(params, cfg: ModelConfig, pyramids):
         states = rans_initial_states()
         emis = {}
         t0 = time.time()
-        for (s, probs_dev, cols, geo, total, counts, tv) in reversed(pending):
+        for (s, probs_dev, cols, (vox_fr, vox_j), total, counts, tv) in (
+            reversed(pending)
+        ):
             seg_b, seg_m = [], []
             for stage in reversed(range(cfg.outstage)):
                 states, byts, mask = _rans_enc_seg(
                     states, probs_dev[stage], cols[stage],
-                    geo["vox_fr"], geo["vox_j"], jnp.int32(total),
+                    vox_fr, vox_j, jnp.int32(total),
                 )
                 seg_b.append(byts)
                 seg_m.append(mask)
@@ -644,19 +775,20 @@ def encode_gop_streams_dev(params, cfg: ModelConfig, pyramids):
 # ---------------------------------------------------------------- decode --
 
 
-def decode_gop_streams_rans(params, cfg: ModelConfig, wire, lows):
-    """Decode from per-chunk rans-v1 blobs: the entropy decode runs ON
+def decode_gop_streams_rans(params, cfg: ModelConfig, wire, lows,
+                            probs_mode=None):
+    """Decode from per-chunk rans blobs: the entropy decode runs ON
     device, chained into the stage loop — per level the host does ONE
     download (the packed decoded bits, for shape derivation and the
     final rebuild); probabilities never cross the wire."""
     return decode_gop_streams_dev(
         params, cfg, None, lows, rans_chunks=wire["rans"],
-        s_num=wire.get("s_num") or cfg.scale_num,
+        s_num=wire.get("s_num") or cfg.scale_num, probs_mode=probs_mode,
     )
 
 
 def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
-                           rans_chunks=None, s_num=None):
+                           rans_chunks=None, s_num=None, probs_mode=None):
     """Decode all frames coarse-to-fine with the device-resident chain.
 
     Per level: 8 serial {device stage-step -> host AC -> packed bits up}
@@ -670,6 +802,7 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
     from ..ops.octree import np_octree_up
 
     f_total = len(lows)
+    mode = probs_mode or _probs_mode()
     if s_num is None:
         s_num = len(frame_blobs[0])
     out_coords = [None] * f_total
@@ -725,11 +858,22 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
                 bits_acc = jnp.zeros((cfg.outstage, tv), jnp.uint8)
                 for stage in range(cfg.outstage):
                     with _prof("dec_dispatch"):
-                        occ_buf, vox_occ, pr = _stage_step(
-                            params, cfg, occ_buf, vox_occ, geo["code"],
-                            geo["nbr27"], xg, jnp.int32(stage), prev,
-                            geo["vox_brick"], geo["vox_slot"], geo["sel"],
-                        )
+                        if mode == "fused":
+                            occ_buf, vox_occ = _scatter_col(
+                                occ_buf, vox_occ, prev,
+                                jnp.int32(max(stage - 1, 0)),
+                                geo["vox_brick"], geo["vox_slot"],
+                            )
+                            pr = _fused_probs(
+                                params, cfg, occ_buf, geo["code"],
+                                geo["nbr27"], xg, geo["sel"],
+                            )[stage]
+                        else:
+                            occ_buf, vox_occ, pr = _stage_step(
+                                params, cfg, occ_buf, vox_occ, geo["code"],
+                                geo["nbr27"], xg, jnp.int32(stage), prev,
+                                geo["vox_brick"], geo["vox_slot"], geo["sel"],
+                            )
                         r_st, r_cur, prev, bits_acc = _rans_dec_stage(
                             r_st, r_cur, r_stream, pr, geo["vox_fr"],
                             geo["vox_j"], jnp.int32(total), bits_acc,
@@ -763,11 +907,22 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
                 ]
                 for stage in range(cfg.outstage):
                     with _prof("dec_dispatch"):
-                        occ_buf, vox_occ, pr = _stage_step(
-                            params, cfg, occ_buf, vox_occ, geo["code"],
-                            geo["nbr27"], xg, jnp.int32(stage), prev,
-                            geo["vox_brick"], geo["vox_slot"], geo["sel"],
-                        )
+                        if mode == "fused":
+                            occ_buf, vox_occ = _scatter_col(
+                                occ_buf, vox_occ, prev,
+                                jnp.int32(max(stage - 1, 0)),
+                                geo["vox_brick"], geo["vox_slot"],
+                            )
+                            pr = _fused_probs(
+                                params, cfg, occ_buf, geo["code"],
+                                geo["nbr27"], xg, geo["sel"],
+                            )[stage]
+                        else:
+                            occ_buf, vox_occ, pr = _stage_step(
+                                params, cfg, occ_buf, vox_occ, geo["code"],
+                                geo["nbr27"], xg, jnp.int32(stage), prev,
+                                geo["vox_brick"], geo["vox_slot"], geo["sel"],
+                            )
                     with _prof("dec_probs_down"):
                         pr_h = np.asarray(pr)
                     PROF["dec_bytes_down"] += pr_h.nbytes

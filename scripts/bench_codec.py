@@ -56,6 +56,12 @@ def main():
         gt = np.unique(f - f.min(axis=0), axis=0)
         assert np.array_equal(d, gt), "lossless check failed"
 
+    # report timed runs only: phases that run on one codec side or skip
+    # warmup would otherwise be mis-normalized (round-3 advisor)
+    from linr_pcgc_tpu.runtime.dev_codec import PROF
+
+    PROF.clear()
+
     t0 = time.time()
     for _ in range(args.runs):
         encode_gop_streams(params, cfg, pyrs)
@@ -74,13 +80,10 @@ def main():
         "bpp_untrained": round(bits / points, 3),
         "points": points,
     }
-    from linr_pcgc_tpu.runtime.dev_codec import PROF
-
     if PROF:
-        runs = args.runs + 1  # warmup included in the accumulators
         rec["prof_per_frame"] = {
-            k: round(v / (runs * args.frames), 4) if not k.endswith("bytes_down") and not k.endswith("bytes_up")
-            else int(v / (runs * args.frames))
+            k: round(v / (args.runs * args.frames), 4) if not k.endswith("bytes_down") and not k.endswith("bytes_up")
+            else int(v / (args.runs * args.frames))
             for k, v in sorted(PROF.items())
         }
     print(json.dumps(rec))

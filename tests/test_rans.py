@@ -235,3 +235,28 @@ def test_ac_fallback_lossless(monkeypatch):
     decoded = decode_gop_streams(params, cfg, blobs, [p.low_coords for p in pyrs])
     for dec, f in zip(decoded, frames):
         np.testing.assert_array_equal(dec, np.unique(f - f.min(axis=0), axis=0))
+
+
+def test_rans_blob_crc_detects_corruption():
+    """rans-v2 blobs carry a CRC32 of the lane streams: a flipped byte
+    must fail loudly at unpack, not decode silently into the next lane
+    (round-3 advisor).  v1 blobs (no flag bit) stay readable."""
+    from linr_pcgc_tpu.ops.rans import LANES, pack_rans_blob, unpack_rans_blob
+
+    states = (np.arange(LANES, dtype=np.uint32) + (1 << 23)).astype(np.uint32)
+    streams = [bytes([i % 256, (i * 7) % 256, (i * 13) % 256]) for i in range(LANES)]
+    blob = pack_rans_blob(states, streams)
+    st, flat, offs = unpack_rans_blob(blob)
+    np.testing.assert_array_equal(st, states)
+    assert flat[:-1].tobytes() == b"".join(streams)  # sentinel-padded
+
+    bad = bytearray(blob)
+    bad[-3] ^= 0x40  # corrupt a lane stream byte
+    with pytest.raises(ValueError, match="CRC"):
+        unpack_rans_blob(bytes(bad))
+
+    # a v1 blob: plain LANES word, no CRC field
+    v1 = np.asarray([LANES], np.uint32).tobytes() + blob[8:]
+    st1, flat1, _ = unpack_rans_blob(v1)
+    np.testing.assert_array_equal(st1, states)
+    np.testing.assert_array_equal(flat1, flat)

@@ -446,3 +446,77 @@ def test_standalone_decode_outstage_grouping(tmp_path):
     encode_gop(model_path, [ds[0]], enc_dir, cfg)
     decoded = decode_gop(enc_dir, None, cfg=None)
     np.testing.assert_array_equal(decoded[0], np.unique(frames[0], axis=0))
+
+
+def test_fused_probs_roundtrip(monkeypatch):
+    """probs_mode="fused" (the default): BOTH sides run the one cs=8
+    `_fused_probs` executable — the encoder once per level on full
+    ground-truth occupancy, the decoder once per stage on its partial
+    buffers, keeping row j.  The tri mask zeroes channels >= j exactly,
+    so row j is bitwise identical by construction; a single f16 mismatch
+    would derail the rANS decode and trip the frame_points backstop, so
+    this lossless roundtrip IS the bitwise assertion."""
+    from linr_pcgc_tpu.runtime.codec import (
+        decode_gop_streams,
+        encode_gop_streams,
+    )
+
+    monkeypatch.setenv("LINR_CODEC_PROBS", "fused")
+    ds, frames = small_dataset(2, n_pts=2500)
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    params = init_params(jax.random.PRNGKey(5), cfg)
+    pyrs = [ds[0], ds[1]]
+    wire, _ = encode_gop_streams(params, cfg, pyrs)
+    decoded = decode_gop_streams(params, cfg, wire, [p.low_coords for p in pyrs])
+    for dec, f in zip(decoded, frames):
+        np.testing.assert_array_equal(
+            dec, np.unique(f - f.min(axis=0), axis=0)
+        )
+
+
+def test_stage_probs_roundtrip(monkeypatch):
+    """probs_mode="stage" (the pre-round-4 wire, 8 x the cs=1
+    `_stage_step` executable on both sides) stays lossless end to end on
+    the rANS wire."""
+    from linr_pcgc_tpu.runtime.codec import (
+        decode_gop_streams,
+        encode_gop_streams,
+    )
+
+    monkeypatch.setenv("LINR_CODEC_PROBS", "stage")
+    ds, frames = small_dataset(2, n_pts=2000)
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    params = init_params(jax.random.PRNGKey(6), cfg)
+    pyrs = [ds[0], ds[1]]
+    wire, _ = encode_gop_streams(params, cfg, pyrs)
+    decoded = decode_gop_streams(params, cfg, wire, [p.low_coords for p in pyrs])
+    for dec, f in zip(decoded, frames):
+        np.testing.assert_array_equal(
+            dec, np.unique(f - f.min(axis=0), axis=0)
+        )
+
+
+def test_probs_mode_adopted_from_side_info(tmp_path, monkeypatch):
+    """The probs executable shape travels with the bitstream: a stream
+    encoded in fused mode must decode losslessly even when the decoder's
+    environment says "stage" — decode_gop adopts side_info's value
+    (unlike dtype/conv_kernel, which refuse on mismatch)."""
+    import json
+
+    from linr_pcgc_tpu.runtime.codec import encode_gop, decode_gop
+    from linr_pcgc_tpu.runtime.overfit import adam_init, save_checkpoint
+
+    monkeypatch.setenv("LINR_CODEC_PROBS", "fused")
+    ds, frames = small_dataset(1, n_pts=2000)
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    model_path = str(tmp_path / "model.npz")
+    save_checkpoint(model_path, params, adam_init(params), 0.01, 0, 1.0, 8)
+    enc_dir = str(tmp_path / "enc")
+    encode_gop(model_path, [ds[0]], enc_dir, cfg)
+    with open(tmp_path / "enc" / "side_info.json") as f:
+        assert json.load(f)["numerics"]["probs"] == "fused"
+
+    monkeypatch.setenv("LINR_CODEC_PROBS", "stage")  # decoder env differs
+    decoded = decode_gop(enc_dir, None, cfg=None)
+    np.testing.assert_array_equal(decoded[0], np.unique(frames[0], axis=0))
