@@ -76,6 +76,7 @@ def main():
         arrays = batch
         jax.block_until_ready(batch.occ)
         dt = time.time() - t0
+        assembly_s = dt / n_frames
         log(
             f"gop assembled (superbricks) in {dt:.1f}s "
             f"({dt / n_frames:.2f} s/frame incl. upload); "
@@ -89,11 +90,13 @@ def main():
     elif backend == "bricks":
         batch = assemble_gop_bricks(pyrs)
         arrays = batch
+        assembly_s = (time.time() - t0) / n_frames
         log(f"gop assembled (bricks) in {time.time()-t0:.1f}s; flat bricks={batch.nbr27.shape[1]}")
         epoch_fn = make_epoch_fn_bricks(cfg, tc, batch.level_slices)
     else:
         batch = assemble_gop(pyrs)
         arrays = batch_arrays(batch)
+        assembly_s = (time.time() - t0) / n_frames
         log(f"gop assembled in {time.time()-t0:.1f}s; flat nodes={batch.scale_id.shape[1]}")
         epoch_fn = make_epoch_fn(cfg, tc)
 
@@ -123,6 +126,8 @@ def main():
                 "value": round(s_per_frame_epoch, 5),
                 "unit": "s/frame/epoch",
                 "vs_baseline": round(BASELINE_S_PER_FRAME_EPOCH / s_per_frame_epoch, 3),
+                "assembly_s_per_frame": round(assembly_s, 3),
+                "final_loss": round(float(np.mean(np.asarray(losses))), 4),
             }
         )
     )

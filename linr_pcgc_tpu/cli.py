@@ -53,8 +53,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", type=str, default="False",
                    help="continue an interrupted GOP from its own checkpoint")
     p.add_argument("--devices", type=int, default=1,
-                   help="frame-data-parallel training over N chips "
+                   help="multi-chip training over N chips "
                         "(1 = sequential parity trainer)")
+    p.add_argument("--parallel", type=str, default="sp",
+                   choices=("sp", "gop"),
+                   help="devices>1 layout: 'sp' = stage-parallel within "
+                        "every GOP (min latency, exact sequential "
+                        "semantics); 'gop' = after GOP 0, train N warm "
+                        "GOPs concurrently, one per chip (max sequence "
+                        "throughput, zero collectives)")
     p.add_argument("--ori_dir", type=str, default="test_pc")
     p.add_argument("--ori_dtype", type=str, default="ply")
     p.add_argument("--handle_dir", type=str, default="tmp/test_pc")
@@ -179,7 +186,45 @@ def run(args, logger=None) -> None:
             str(args.pretrain_path)
         ) else None
         first_model = None
-        for g_idx, group in enumerate(groups):
+        gop_par = (
+            args.devices > 1
+            and args.parallel == "gop"
+            and args.mid_test != "True"
+            and args.resume != "True"
+            and cfg.kernel_size == 3
+            and cfg.outstage == 8
+            and cfg.block_type != "dilation"
+        )
+        if args.devices > 1 and args.parallel == "gop" and not gop_par:
+            logger.info(
+                "gop-parallel unavailable for this config (needs the "
+                "superbrick backend, no --mid_test/--resume) — "
+                "falling back to stage-parallel"
+            )
+        seq_groups = list(enumerate(groups))
+        if gop_par and len(groups) > 1:
+            from .parallel import overfit_gops_parallel
+
+            # GOP 0 trains first (all chips stage-parallel, min latency);
+            # the warm GOPs then run in waves of `devices`, one per chip
+            # (reference main.py:98-104 makes them independent).
+            # Ragged-tail GOPs (shorter than gop_size) train sequentially.
+            tail = [
+                (i, g) for i, g in seq_groups[1:] if len(g) != len(groups[0])
+            ]
+            waves, cur = [], []
+            for i, g in seq_groups[1:]:
+                if len(g) == len(groups[0]):
+                    cur.append((i, g))
+                    if len(cur) == args.devices:
+                        waves.append(cur)
+                        cur = []
+            if cur:
+                waves.append(cur)
+            seq_groups = [seq_groups[0]] + tail
+        else:
+            waves = []
+        for g_idx, group in seq_groups:
             epochs = args.first_epoch if g_idx == 0 else args.others_epoch
             # warm start: every later GOP starts from GOP 0's checkpoint
             # (main.py:98-104)
@@ -205,6 +250,19 @@ def run(args, logger=None) -> None:
             )
             if g_idx == 0:
                 first_model = path
+        for wave in waves:
+            overfit_gops_parallel(
+                dataset=dataset,
+                group_ranges=[g for _, g in wave],
+                epoch_num=args.others_epoch,
+                cfg=cfg,
+                tc=tc,
+                result_dir=args.result_dir,
+                warm_start_path=first_model,
+                bitdepth=args.model_bitdepth,
+                handle_dir=args.handle_dir,
+                logger=logger,
+            )
 
     if args.encode == "True":
         for group, name in zip(groups, gop_names):

@@ -6,3 +6,9 @@ from .train import (
     shard_gop,
     shard_sb_gop,
 )
+from .gop_parallel import (
+    make_epoch_fn_gop_parallel,
+    overfit_gops_parallel,
+    shard_gop_batches,
+    stack_gop_state,
+)

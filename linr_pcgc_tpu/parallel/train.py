@@ -100,11 +100,28 @@ def make_epoch_fn_sb_sp(cfg: ModelConfig, tc: TrainConfig, level_slices,
     than single-chip training (which runs ``stage_chunk`` stages per
     unit).  Requires D | outstage; callers fall back to frame-DP
     otherwise.
+
+    Collectives (the multi-chip cost model, docs/DESIGN.md): on the
+    default fused path, per (frame x level group) exactly TWO psums ride
+    ICI — the scalar chunk bits and the ~55k-param gradient pytree
+    (~220 KB f32) — because block_in's gradient is computed INSIDE each
+    chip's fused chunk (its x_glob row rides the chip's own halo
+    exchanges, sb_fused_chunk_logits), not folded through a separate
+    x_glob VJP.  The pre-fused split path (non-inception block_in)
+    additionally psums the x_glob cotangent — (group bricks, slots*ch)
+    bf16, ~84 MB at the level-0 production group — which the fused path
+    eliminates.
     """
     from jax import shard_map
-    from ..models.sb_network import sb_chunk_bits, sb_x_glob, ACT
+    from ..models.sb_network import (
+        sb_chunk_bits,
+        sb_fused_chunk_bits,
+        sb_x_glob,
+        ACT,
+    )
     from ..runtime.sb_overfit import level_groups
     from ..runtime.overfit import adam_frame_update as adam_update
+    from ..ops.superbricks import unpack_bits
 
     d_mesh = mesh.devices.size
     assert cfg.outstage % d_mesh == 0, (cfg.outstage, d_mesh)
@@ -117,6 +134,13 @@ def make_epoch_fn_sb_sp(cfg: ModelConfig, tc: TrainConfig, level_slices,
     if max_group_bricks is None and small:
         max_group_bricks = total
     groups = level_groups(level_slices, max_group_bricks)
+    # same eligibility as the sequential trainer (runtime/sb_overfit):
+    # the fused pass needs the default 1-layer inception block_in
+    fused = (
+        slots == 64
+        and cfg.block_layers == 1
+        and cfg.block_type == "inception"
+    )
 
     def make_group_fn(sub_slices):
         def geom_of(sub):
@@ -126,31 +150,51 @@ def make_epoch_fn_sb_sp(cfg: ModelConfig, tc: TrainConfig, level_slices,
                 dtype=compute_dtype,
             )
 
-        xg_fwd = jax.checkpoint(
-            lambda p, sub: sb_x_glob(p, cfg, geom_of(sub), sub_slices),
-            policy=policy,
-        )
+        if fused:
+            def fchunk_fn(p, sub, base):
+                return sb_fused_chunk_bits(
+                    p, cfg, geom_of(sub), unpack_bits(sub["occ"]), base,
+                    cs, sub_slices,
+                )
 
-        def chunk_fn(p, xg, sub, base):
-            from ..ops.superbricks import unpack_bits
-
-            return sb_chunk_bits(
-                p, cfg, geom_of(sub), unpack_bits(sub["occ"]), base, cs, xg
+            fchunk_vg = jax.value_and_grad(
+                jax.checkpoint(fchunk_fn, policy=policy)
             )
 
-        chunk_vg = jax.value_and_grad(
-            jax.checkpoint(chunk_fn, policy=policy), argnums=(0, 1)
-        )
+            def shard_fn(params, sub, base):
+                # per chip: block_in + its own cs stages in ONE fused
+                # pass; block_in's redundant recompute rides the chip's
+                # own halo exchanges (row-rate bound) for ~free, and its
+                # gradient arrives inside gp — two psums total
+                bits, gp = fchunk_vg(params, sub, base[0])
+                bits = jax.lax.psum(bits, axis)
+                grads = jax.lax.psum(gp, axis)
+                return bits, grads
+        else:
+            xg_fwd = jax.checkpoint(
+                lambda p, sub: sb_x_glob(p, cfg, geom_of(sub), sub_slices),
+                policy=policy,
+            )
 
-        def shard_fn(params, sub, base):
-            # per chip: its own cs-stage chunk of this level group
-            x_glob, bi_vjp = jax.vjp(lambda p: xg_fwd(p, sub), params)
-            bits, (gp, gx) = chunk_vg(params, x_glob, sub, base[0])
-            bits = jax.lax.psum(bits, axis)
-            gp = jax.lax.psum(gp, axis)
-            gx = jax.lax.psum(gx, axis)
-            grads = jax.tree_util.tree_map(jnp.add, gp, bi_vjp(gx)[0])
-            return bits, grads
+            def chunk_fn(p, xg, sub, base):
+                return sb_chunk_bits(
+                    p, cfg, geom_of(sub), unpack_bits(sub["occ"]), base,
+                    cs, xg,
+                )
+
+            chunk_vg = jax.value_and_grad(
+                jax.checkpoint(chunk_fn, policy=policy), argnums=(0, 1)
+            )
+
+            def shard_fn(params, sub, base):
+                # per chip: its own cs-stage chunk of this level group
+                x_glob, bi_vjp = jax.vjp(lambda p: xg_fwd(p, sub), params)
+                bits, (gp, gx) = chunk_vg(params, x_glob, sub, base[0])
+                bits = jax.lax.psum(bits, axis)
+                gp = jax.lax.psum(gp, axis)
+                gx = jax.lax.psum(gx, axis)
+                grads = jax.tree_util.tree_map(jnp.add, gp, bi_vjp(gx)[0])
+                return bits, grads
 
         return shard_map(
             shard_fn,

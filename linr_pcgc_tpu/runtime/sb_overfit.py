@@ -63,25 +63,44 @@ def assemble_gop_superbricks(
 ) -> SbGopBatch:
     """``side`` = 4 (default, the fast path: the halo IS the conv operand)
     or 8 (coarser gather granularity; kept for comparison/testing)."""
-    s_num = pyramids[0].scale_num
-    assert all(p.scale_num == s_num for p in pyramids)
+    return assemble_gops_superbricks([pyramids], side=side)[0]
+
+
+def assemble_gops_superbricks(
+    pyr_groups: list[list[FramePyramid]], side: int = 4
+) -> list[SbGopBatch]:
+    """Assemble several GOPs with COMMON per-level buckets (one
+    ``level_slices`` across all returned batches) so they can be stacked
+    on a leading GOP axis and trained by ONE compiled program — the
+    GOP-parallel trainer (parallel/gop_parallel.py).  Buckets are the max
+    over every frame of every GOP, quantized by ``_sb_bucket`` exactly as
+    the single-GOP path."""
+    s_num = pyr_groups[0][0].scale_num
+    assert all(
+        p.scale_num == s_num for grp in pyr_groups for p in grp
+    )
     slots = side**3
 
-    bl = [
+    bl_groups = [
         [
-            build_superbrick_level(
-                p.levels[s].coords[: p.levels[s].n],
-                p.levels[s].occ[: p.levels[s].n],
-                p.levels[s].feat_code[: p.levels[s].n],
-                s,
-                side=side,
-            )
-            for s in range(s_num)
+            [
+                build_superbrick_level(
+                    p.levels[s].coords[: p.levels[s].n],
+                    p.levels[s].occ[: p.levels[s].n],
+                    p.levels[s].feat_code[: p.levels[s].n],
+                    s,
+                    side=side,
+                )
+                for s in range(s_num)
+            ]
+            for p in grp
         ]
-        for p in pyramids
+        for grp in pyr_groups
     ]
     buckets = [
-        _sb_bucket(max(bl[f][s].n_bricks for f in range(len(pyramids))))
+        _sb_bucket(
+            max(fl[s].n_bricks for bl in bl_groups for fl in bl)
+        )
         for s in range(s_num)
     ]
     offsets = np.cumsum([0] + buckets[:-1]).astype(np.int64)
@@ -90,31 +109,37 @@ def assemble_gop_superbricks(
         (int(offsets[s]), int(offsets[s] + buckets[s]), s) for s in range(s_num)
     )
 
-    f_nbr, f_code, f_occ = [], [], []
-    for f in range(len(pyramids)):
-        nbr = np.full((total, 27), -1, np.int32)
-        code = np.full((total, slots), -1, np.int16)
-        occ = np.zeros((total, 8, slots), np.uint8)
-        for s in range(s_num):
-            lev = bl[f][s]
-            a = int(offsets[s])
-            nb = lev.n_bricks
-            nbr[a: a + nb] = np.where(lev.nbr27 >= 0, lev.nbr27 + np.int32(a), -1)
-            code[a: a + nb] = lev.scale_code.astype(np.int16)
-            occ[a: a + nb] = lev.occ
-        f_nbr.append(nbr)
-        f_code.append(code)
-        f_occ.append(np.packbits(occ, axis=-1))
-
-    return SbGopBatch(
-        nbr27=jnp.asarray(np.stack(f_nbr)),
-        code=jnp.asarray(np.stack(f_code)),
-        occ=jnp.asarray(np.stack(f_occ)),
-        point_num=jnp.asarray(
-            np.array([p.point_num for p in pyramids], np.float32)
-        ),
-        level_slices=level_slices,
-    )
+    out = []
+    for bl, grp in zip(bl_groups, pyr_groups):
+        f_nbr, f_code, f_occ = [], [], []
+        for fl in bl:
+            nbr = np.full((total, 27), -1, np.int32)
+            code = np.full((total, slots), -1, np.int16)
+            occ = np.zeros((total, 8, slots), np.uint8)
+            for s in range(s_num):
+                lev = fl[s]
+                a = int(offsets[s])
+                nb = lev.n_bricks
+                nbr[a: a + nb] = np.where(
+                    lev.nbr27 >= 0, lev.nbr27 + np.int32(a), -1
+                )
+                code[a: a + nb] = lev.scale_code.astype(np.int16)
+                occ[a: a + nb] = lev.occ
+            f_nbr.append(nbr)
+            f_code.append(code)
+            f_occ.append(np.packbits(occ, axis=-1))
+        out.append(
+            SbGopBatch(
+                nbr27=jnp.asarray(np.stack(f_nbr)),
+                code=jnp.asarray(np.stack(f_code)),
+                occ=jnp.asarray(np.stack(f_occ)),
+                point_num=jnp.asarray(
+                    np.array([p.point_num for p in grp], np.float32)
+                ),
+                level_slices=level_slices,
+            )
+        )
+    return out
 
 
 def sb_frame_loss(params, cfg: ModelConfig, fd: dict, level_slices,

@@ -1,6 +1,8 @@
 """Multi-device tests on the virtual 8-device CPU mesh: frame-parallel
 training compiles, runs, reduces loss, and agrees with single-device math."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -337,3 +339,160 @@ def test_sb_sp_cli_rate_parity_and_roundtrip(tmp_path):
     decoded = decode_gop(enc_dir, None, cfg)
     for i, dec in enumerate(decoded):
         np.testing.assert_array_equal(dec, np.unique(frames[i], axis=0))
+
+
+def test_gop_parallel_matches_per_gop_sequential():
+    """The GOP-parallel trainer (one GOP per device, zero collectives)
+    must reproduce each GOP's sequential warm-trained loss trajectory:
+    the per-device program IS the sequential frame step, so agreement is
+    tight — the only noise is compile-level reduction-order (same bound
+    as the sp parity test)."""
+    from linr_pcgc_tpu.parallel import (
+        make_epoch_fn_gop_parallel,
+        shard_gop_batches,
+        stack_gop_state,
+    )
+    from linr_pcgc_tpu.runtime.sb_overfit import (
+        assemble_gops_superbricks,
+        make_epoch_fn_sb,
+    )
+
+    d, gop_size = 4, 2
+    frames = [
+        synthetic_cloud(900, depth=6, seed=s) for s in range(d * gop_size)
+    ]
+    ds = PyramidDataset(frames, handle_dir=None)
+    ds[0]
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    tc = TrainConfig(step_size=3)
+    pyr_groups = [
+        [ds[g * gop_size + i] for i in range(gop_size)] for g in range(d)
+    ]
+    batches = assemble_gops_superbricks(pyr_groups)
+    assert len({b.level_slices for b in batches}) == 1
+
+    params0 = init_params(jax.random.PRNGKey(7), cfg)
+    opt0 = adam_init(params0)
+    mesh = make_mesh(d)
+    epoch_gp = make_epoch_fn_gop_parallel(cfg, tc, batches[0].level_slices, mesh)
+    p_s, o_s, lr_s, k_s = stack_gop_state(params0, opt0, 0.01, 0, d, mesh)
+    arrays = shard_gop_batches(batches, mesh)
+
+    epochs = 3
+    gp_losses = []
+    for _ in range(epochs):
+        p_s, o_s, lr_s, k_s, losses = epoch_gp(p_s, o_s, lr_s, k_s, arrays)
+        gp_losses.append(np.asarray(losses))  # (D, F)
+    gp_losses = np.stack(gp_losses)  # (E, D, F)
+
+    epoch_seq = make_epoch_fn_sb(cfg, tc, batches[0].level_slices)
+    for g in range(d):
+        p = jax.tree_util.tree_map(jnp.copy, params0)
+        o = adam_init(params0)
+        lr = jnp.asarray(0.01, jnp.float32)
+        k = jnp.zeros((), jnp.int32)
+        seq = []
+        for _ in range(epochs):
+            p, o, lr, k, losses = epoch_seq(p, o, lr, k, batches[g])
+            seq.append(np.asarray(losses))
+        seq = np.stack(seq)  # (E, F)
+        np.testing.assert_allclose(gp_losses[0, g], seq[0], rtol=1e-5)
+        np.testing.assert_allclose(
+            gp_losses[:, g], seq, rtol=1e-2, err_msg=f"gop {g}"
+        )
+    # independent per-GOP schedules all advanced identically
+    np.testing.assert_array_equal(
+        np.asarray(k_s), np.full(d, epochs * gop_size)
+    )
+
+
+def test_gop_parallel_overfit_checkpoints_roundtrip(tmp_path):
+    """overfit_gops_parallel writes per-GOP checkpoints/artifacts the
+    codec consumes unchanged: warm-start 4 GOPs on a 4-device mesh, then
+    losslessly encode+decode a GOP from its parallel-trained model."""
+    from linr_pcgc_tpu.parallel import overfit_gops_parallel
+    from linr_pcgc_tpu.runtime import overfit_gop, encode_gop, decode_gop
+
+    d, gop_size = 4, 2
+    frames = [
+        synthetic_cloud(800, depth=6, seed=10 + s)
+        for s in range(gop_size * (d + 1))
+    ]
+    ds = PyramidDataset(frames, handle_dir=None)
+    ds[0]
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    tc = TrainConfig()
+    rd = str(tmp_path / "out")
+
+    first = overfit_gop(
+        dataset=ds, group_range=range(gop_size), epoch_num=3, cfg=cfg,
+        tc=tc, result_dir=rd, handle_dir=str(tmp_path / "tmp"),
+    )
+    groups = [
+        range(g * gop_size, (g + 1) * gop_size) for g in range(1, d + 1)
+    ]
+    paths = overfit_gops_parallel(
+        dataset=ds, group_ranges=groups, epoch_num=2, cfg=cfg, tc=tc,
+        result_dir=rd, warm_start_path=first,
+        handle_dir=str(tmp_path / "tmp"),
+    )
+    assert len(paths) == d
+    import json
+
+    for g, path in enumerate(paths):
+        assert path.endswith(
+            f"gop_{groups[g][0]}_{groups[g][-1]}/model.npz"
+        )
+        assert os.path.exists(path), path
+        with open(os.path.join(os.path.dirname(path), "result.json")) as f:
+            res = json.load(f)
+        assert [e["epoch"] for e in res] == [0, 1]
+
+    # codec roundtrip from a parallel-trained checkpoint
+    g = 2
+    pyrs = [ds[i] for i in groups[g]]
+    enc_dir = str(tmp_path / "enc")
+    encode_gop(paths[g], pyrs, enc_dir, cfg)
+    decoded = decode_gop(enc_dir, None, cfg)
+    for i, dec in enumerate(decoded):
+        gt = frames[groups[g][0] + i]
+        np.testing.assert_array_equal(dec, np.unique(gt, axis=0))
+
+
+def test_gop_parallel_cli_end_to_end(tmp_path):
+    """--devices 2 --parallel gop through the production CLI: GOP 0
+    trains stage-parallel, the two later GOPs train concurrently one per
+    device, and the full encode->decode is lossless (the decoder asserts
+    per frame; we re-read the decoded PLYs)."""
+    from linr_pcgc_tpu import cli
+    from linr_pcgc_tpu.data import write_ply_ascii, read_ply
+
+    ori = tmp_path / "ply"
+    ori.mkdir()
+    frames = []
+    for t in range(6):
+        pts = synthetic_cloud(800, depth=6, seed=3, phase=0.1 * t)
+        frames.append(pts)
+        write_ply_ascii(str(ori / f"frame{t:04d}.ply"), pts)
+
+    cli.main(
+        [
+            "--overfit", "True", "--encode", "True", "--decode", "True",
+            "--ori_dir", str(ori),
+            "--handle_dir", str(tmp_path / "tmp"),
+            "--result_dir", str(tmp_path / "out"),
+            "--encode_dir", str(tmp_path / "enc"),
+            "--decode_dir", str(tmp_path / "dec"),
+            "--frame_num", "6", "--gop_size", "2",
+            "--first_epoch", "2", "--others_epoch", "1",
+            "--devices", "2", "--parallel", "gop",
+        ]
+    )
+    # every warm GOP got its own result.json + checkpoint
+    for name in ("gop_0_1", "gop_2_3", "gop_4_5"):
+        assert os.path.exists(tmp_path / "out" / name / "model.npz"), name
+    for t in range(6):
+        np.testing.assert_array_equal(
+            read_ply(str(tmp_path / "dec" / f"frame{t:04d}.ply")),
+            np.unique(frames[t], axis=0),
+        )
