@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "semantics); 'gop' = after GOP 0, train N warm "
                         "GOPs concurrently, one per chip (max sequence "
                         "throughput, zero collectives)")
+    p.add_argument("--gop_lanes", type=int, default=0,
+                   help="with --parallel gop: number of concurrent GOPs "
+                        "per wave (default = devices); when < devices, "
+                        "each GOP lane trains (devices // gop_lanes)-way "
+                        "stage-parallel on a 2-D gop x sp mesh — the "
+                        "latency/throughput tradeoff knob")
     p.add_argument("--ori_dir", type=str, default="test_pc")
     p.add_argument("--ori_dtype", type=str, default="ply")
     p.add_argument("--handle_dir", type=str, default="tmp/test_pc")
@@ -202,12 +208,25 @@ def run(args, logger=None) -> None:
                 "falling back to stage-parallel"
             )
         seq_groups = list(enumerate(groups))
+        lanes = args.gop_lanes or args.devices
+        sp_per_lane = 1
+        if gop_par and args.gop_lanes:
+            if args.devices % lanes or cfg.outstage % (args.devices // lanes):
+                logger.info(
+                    f"--gop_lanes {lanes} does not divide --devices "
+                    f"{args.devices} into sp lanes dividing outstage "
+                    f"{cfg.outstage} — using one GOP per chip"
+                )
+                lanes = args.devices
+            else:
+                sp_per_lane = args.devices // lanes
         if gop_par and len(groups) > 1:
             from .parallel import overfit_gops_parallel
 
             # GOP 0 trains first (all chips stage-parallel, min latency);
-            # the warm GOPs then run in waves of `devices`, one per chip
-            # (reference main.py:98-104 makes them independent).
+            # the warm GOPs then run in waves of `gop_lanes` concurrent
+            # GOPs, each lane sp_per_lane-way stage-parallel (reference
+            # main.py:98-104 makes warm GOPs independent).
             # Ragged-tail GOPs (shorter than gop_size) train sequentially.
             tail = [
                 (i, g) for i, g in seq_groups[1:] if len(g) != len(groups[0])
@@ -216,7 +235,7 @@ def run(args, logger=None) -> None:
             for i, g in seq_groups[1:]:
                 if len(g) == len(groups[0]):
                     cur.append((i, g))
-                    if len(cur) == args.devices:
+                    if len(cur) == lanes:
                         waves.append(cur)
                         cur = []
             if cur:
@@ -261,6 +280,7 @@ def run(args, logger=None) -> None:
                 warm_start_path=first_model,
                 bitdepth=args.model_bitdepth,
                 handle_dir=args.handle_dir,
+                sp_devices=sp_per_lane,
                 logger=logger,
             )
 

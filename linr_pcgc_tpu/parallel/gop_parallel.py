@@ -98,6 +98,112 @@ def make_epoch_fn_gop_parallel(cfg, tc, level_slices, mesh: Mesh,
     return epoch_fn
 
 
+def make_epoch_fn_gop_sp(cfg, tc, level_slices, mesh: Mesh,
+                         compute_dtype=jnp.bfloat16,
+                         max_group_bricks: int | None = None,
+                         slots: int = 64):
+    """2-D (gop x sp) trainer: G concurrent warm GOPs, each trained
+    stage-parallel across S chips — the full latency/throughput tradeoff
+    curve on one mesh (``--devices G*S --parallel gop --gop_lanes G``).
+
+    Mesh axes ("gop", "sp").  State and frame data carry a leading GOP
+    axis sharded over "gop" and replicated over "sp"; inside the one
+    shard_map each chip takes its stage base from
+    ``lax.axis_index("sp")``, runs the fused cs = outstage/S stage chunk
+    per level group (parallel/train.make_group_chunk_grads — the
+    stage-parallel trainer's exact unit), psums bits + grads over "sp"
+    ONLY, and applies the Adam step redundantly across its gop column
+    (identical inputs -> identical params, no broadcast needed).  Per-GOP
+    semantics are exactly the sequential trainer's, like sb_sp.
+
+    Why: stage-parallel saturates with D (the halo exchange is gather
+    row-rate bound, docs/DESIGN.md perf model) while the GOP axis scales
+    linearly but cannot cut per-GOP latency.  The product lets v5e-8 run
+    e.g. 4 GOPs x 2-way sp — near-linear throughput from the gop axis
+    times the pre-saturation part of the sp curve.
+    """
+    from jax import shard_map
+    from ..runtime.overfit import adam_frame_update
+    from ..runtime.sb_overfit import level_groups
+    from .train import make_group_chunk_grads
+
+    g_ax, s_ax = mesh.axis_names
+    s_mesh = mesh.shape[s_ax]
+    assert cfg.outstage % s_mesh == 0, (cfg.outstage, s_mesh)
+    cs = cfg.outstage // s_mesh
+
+    total = level_slices[-1][1]
+    small = total * slots <= 4096 * 512
+    if max_group_bricks is None and small:
+        max_group_bricks = total
+    groups = level_groups(level_slices, max_group_bricks)
+    group_fns = [
+        (ga, gb,
+         make_group_chunk_grads(cfg, sub_slices, cs, s_ax, compute_dtype,
+                                slots))
+        for (ga, gb, sub_slices) in groups
+    ]
+
+    def shard_fn(params, opt, lr, k, fd):
+        sq = lambda t: jax.tree_util.tree_map(lambda a: a[0], t)
+        p, o, f = sq(params), sq(opt), sq(fd)
+        base = jax.lax.axis_index(s_ax).astype(jnp.int32) * cs
+        bits_total = jnp.zeros((), jnp.float32)
+        grads = jax.tree_util.tree_map(jnp.zeros_like, p)
+        p_in = p
+        for (ga, gb, chunk_grads) in group_fns:
+            nbr = f["nbr27"][ga:gb]
+            sub = dict(
+                nbr27=jnp.where(nbr >= 0, nbr - jnp.int32(ga), -1),
+                code=f["code"][ga:gb],
+                occ=f["occ"][ga:gb],
+            )
+            bits, g = chunk_grads(p_in, sub, base)
+            grads = jax.tree_util.tree_map(jnp.add, grads, g)
+            bits_total = bits_total + bits
+            p_in, grads, bits_total = jax.lax.optimization_barrier(
+                (p_in, grads, bits_total)
+            )
+        loss = bits_total / f["point_num"]
+        grads = jax.tree_util.tree_map(
+            lambda gi: gi / f["point_num"], grads
+        )
+        p, o = adam_frame_update(p, o, lr[0], grads, tc)
+        k1 = k[0] + 1
+        lr1 = jnp.where(k1 % tc.step_size == 0, lr[0] * tc.gamma, lr[0])
+        ex = lambda t: jax.tree_util.tree_map(lambda a: a[None], t)
+        return ex(p), ex(o), lr1[None], k1[None], loss[None]
+
+    frame_step = jax.jit(
+        shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(g_ax),) * 5,
+            out_specs=(P(g_ax),) * 5,
+            # the sp-axis psums close over the "gop"-varying params; the
+            # strict varying-manual-axes typing rejects that mix for the
+            # same reason as the sequential scan carry (see
+            # make_epoch_fn_gop_parallel) — the redundant-update argument
+            # above is the correctness proof
+            check_vma=False,
+        )
+    )
+
+    def epoch_fn(params_s, opt_s, lr_s, k_s, arrays):
+        n_frames = arrays["point_num"].shape[1]
+        losses = []
+        for i in range(n_frames):
+            fd = {name: v[:, i] for name, v in arrays.items()}
+            params_s, opt_s, lr_s, k_s, loss = frame_step(
+                params_s, opt_s, lr_s, k_s, fd
+            )
+            losses.append(loss)
+        lr_s = jnp.maximum(lr_s, tc.min_lr)
+        return params_s, opt_s, lr_s, k_s, jnp.stack(losses, axis=1)
+
+    return epoch_fn
+
+
 def stack_gop_state(params, opt, lr: float, sched_count: int, d: int,
                     mesh: Mesh):
     """Replicate ONE warm-start state onto the GOP axis (every GOP after
@@ -160,11 +266,14 @@ def overfit_gops_parallel(
     bitdepth: int = 8,
     handle_dir: str | None = None,
     train_dtype: str = "bf16",
+    sp_devices: int = 1,
     logger=None,
 ) -> list[str]:
-    """Overfit len(group_ranges) GOPs concurrently, one per device, all
-    warm-started from ``warm_start_path`` — the warm phase of the
-    reference GOP loop (main.py:98-104) at D x sequence throughput.
+    """Overfit len(group_ranges) GOPs concurrently, one per device (or
+    per ``sp_devices``-chip stage-parallel lane when ``sp_devices > 1``
+    — the 2-D gop x sp mesh), all warm-started from ``warm_start_path``
+    — the warm phase of the reference GOP loop (main.py:98-104) at
+    len(group_ranges) x sequence throughput.
 
     Writes the same per-GOP artifacts as ``runtime.overfit_gop``
     (gop_*/model.npz checkpoints, result.json loss trajectories, base
@@ -208,17 +317,28 @@ def overfit_gops_parallel(
                 f.write(encode_low_all_frames(pyrs))
 
     batches = assemble_gops_superbricks(pyr_groups)
-    mesh = make_mesh(d)
     compute_dtype = jnp.bfloat16 if train_dtype == "bf16" else jnp.float32
-    epoch_fn = make_epoch_fn_gop_parallel(
-        cfg, tc, batches[0].level_slices, mesh, compute_dtype=compute_dtype
-    )
+    if sp_devices > 1:
+        from .mesh import make_mesh_gop_sp
+
+        mesh = make_mesh_gop_sp(d, sp_devices)
+        epoch_fn = make_epoch_fn_gop_sp(
+            cfg, tc, batches[0].level_slices, mesh,
+            compute_dtype=compute_dtype,
+        )
+    else:
+        mesh = make_mesh(d)
+        epoch_fn = make_epoch_fn_gop_parallel(
+            cfg, tc, batches[0].level_slices, mesh,
+            compute_dtype=compute_dtype,
+        )
     arrays = shard_gop_batches(batches, mesh)
 
     template = init_params(jax.random.PRNGKey(0), cfg)
     params, opt, meta = load_checkpoint(warm_start_path, template)
-    log(f"gop-parallel: {d} GOPs x {gop_size} frames, warm from "
-        f"{warm_start_path} (lr={meta['lr']:.6f})")
+    log(f"gop-parallel: {d} GOPs x {gop_size} frames"
+        + (f" x {sp_devices}-way sp" if sp_devices > 1 else "")
+        + f", warm from {warm_start_path} (lr={meta['lr']:.6f})")
     params_s, opt_s, lr_s, k_s = stack_gop_state(
         params, opt, meta["lr"], 0, d, mesh
     )

@@ -27,3 +27,22 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "dp") -> Mesh:
     import numpy as np
 
     return Mesh(np.array(devices), (axis_name,))
+
+
+def make_mesh_gop_sp(gop_lanes: int, sp: int) -> Mesh:
+    """2-D (gop x sp) mesh for the combined trainer
+    (parallel/gop_parallel.make_epoch_fn_gop_sp).  The sp axis is the
+    minor (fastest-varying) one so each GOP's stage-psum rides adjacent
+    ICI links."""
+    import numpy as np
+
+    n = gop_lanes * sp
+    devices = jax.devices()
+    if len(devices) < n:
+        raise ValueError(
+            f"requested {gop_lanes}x{sp}={n} devices, only "
+            f"{len(devices)} available"
+        )
+    return Mesh(
+        np.array(devices[:n]).reshape(gop_lanes, sp), ("gop", "sp")
+    )

@@ -66,6 +66,88 @@ def shard_gop(batch: GopBatch, mesh: Mesh):
     return jax.tree_util.tree_map(reshape_and_place, arrays)
 
 
+def make_group_chunk_grads(cfg: ModelConfig, sub_slices, cs: int,
+                           axis: str, compute_dtype=jnp.bfloat16,
+                           slots: int = 64):
+    """value_and_grad of ONE cs-stage chunk of one level group, for use
+    INSIDE a shard_map body whose stage axis is ``axis``: returns
+    ``chunk_grads(params, sub, base) -> (bits, grads)`` where ``bits``
+    and ``grads`` are already psum'd over ``axis``.
+
+    Fused when eligible (default 1-layer inception block_in): block_in +
+    the chip's cs stages in one pass — block_in's redundant recompute
+    rides the chip's own halo exchanges (row-rate bound) for ~free and
+    its gradient arrives inside the param psum, so exactly TWO psums ride
+    ICI per call (scalar bits + ~220 KB grads).  The split path (other
+    block types) additionally psums the x_glob cotangent and folds it
+    through block_in's VJP replicated.  Shared by the stage-parallel
+    trainer and the gop x sp 2-D trainer (gop_parallel.py)."""
+    from ..models.sb_network import (
+        sb_chunk_bits,
+        sb_fused_chunk_bits,
+        sb_x_glob,
+        ACT,
+    )
+    from ..ops.superbricks import unpack_bits
+
+    policy = jax.checkpoint_policies.save_only_these_names(ACT)
+    fused = (
+        slots == 64
+        and cfg.block_layers == 1
+        and cfg.block_type == "inception"
+    )
+
+    def geom_of(sub):
+        mask = (sub["code"] >= 0).astype(compute_dtype)[:, None, None, :]
+        return dict(
+            nbr27=sub["nbr27"], mask=mask, code=sub["code"],
+            dtype=compute_dtype,
+        )
+
+    if fused:
+        def fchunk_fn(p, sub, base):
+            return sb_fused_chunk_bits(
+                p, cfg, geom_of(sub), unpack_bits(sub["occ"]), base,
+                cs, sub_slices,
+            )
+
+        fchunk_vg = jax.value_and_grad(
+            jax.checkpoint(fchunk_fn, policy=policy)
+        )
+
+        def chunk_grads(params, sub, base):
+            bits, gp = fchunk_vg(params, sub, base)
+            bits = jax.lax.psum(bits, axis)
+            grads = jax.lax.psum(gp, axis)
+            return bits, grads
+    else:
+        xg_fwd = jax.checkpoint(
+            lambda p, sub: sb_x_glob(p, cfg, geom_of(sub), sub_slices),
+            policy=policy,
+        )
+
+        def chunk_fn(p, xg, sub, base):
+            return sb_chunk_bits(
+                p, cfg, geom_of(sub), unpack_bits(sub["occ"]), base,
+                cs, xg,
+            )
+
+        chunk_vg = jax.value_and_grad(
+            jax.checkpoint(chunk_fn, policy=policy), argnums=(0, 1)
+        )
+
+        def chunk_grads(params, sub, base):
+            x_glob, bi_vjp = jax.vjp(lambda p: xg_fwd(p, sub), params)
+            bits, (gp, gx) = chunk_vg(params, x_glob, sub, base)
+            bits = jax.lax.psum(bits, axis)
+            gp = jax.lax.psum(gp, axis)
+            gx = jax.lax.psum(gx, axis)
+            grads = jax.tree_util.tree_map(jnp.add, gp, bi_vjp(gx)[0])
+            return bits, grads
+
+    return chunk_grads
+
+
 def make_epoch_fn_sb_sp(cfg: ModelConfig, tc: TrainConfig, level_slices,
                         mesh: Mesh, compute_dtype=jnp.bfloat16,
                         max_group_bricks: int | None = None,
@@ -113,88 +195,28 @@ def make_epoch_fn_sb_sp(cfg: ModelConfig, tc: TrainConfig, level_slices,
     eliminates.
     """
     from jax import shard_map
-    from ..models.sb_network import (
-        sb_chunk_bits,
-        sb_fused_chunk_bits,
-        sb_x_glob,
-        ACT,
-    )
     from ..runtime.sb_overfit import level_groups
     from ..runtime.overfit import adam_frame_update as adam_update
-    from ..ops.superbricks import unpack_bits
 
     d_mesh = mesh.devices.size
     assert cfg.outstage % d_mesh == 0, (cfg.outstage, d_mesh)
     cs = cfg.outstage // d_mesh  # stages per chip
     axis = mesh.axis_names[0]
-    policy = jax.checkpoint_policies.save_only_these_names(ACT)
 
     total = level_slices[-1][1]
     small = total * slots <= 4096 * 512
     if max_group_bricks is None and small:
         max_group_bricks = total
     groups = level_groups(level_slices, max_group_bricks)
-    # same eligibility as the sequential trainer (runtime/sb_overfit):
-    # the fused pass needs the default 1-layer inception block_in
-    fused = (
-        slots == 64
-        and cfg.block_layers == 1
-        and cfg.block_type == "inception"
-    )
 
     def make_group_fn(sub_slices):
-        def geom_of(sub):
-            mask = (sub["code"] >= 0).astype(compute_dtype)[:, None, None, :]
-            return dict(
-                nbr27=sub["nbr27"], mask=mask, code=sub["code"],
-                dtype=compute_dtype,
-            )
+        chunk_grads = make_group_chunk_grads(
+            cfg, sub_slices, cs, axis, compute_dtype, slots
+        )
 
-        if fused:
-            def fchunk_fn(p, sub, base):
-                return sb_fused_chunk_bits(
-                    p, cfg, geom_of(sub), unpack_bits(sub["occ"]), base,
-                    cs, sub_slices,
-                )
-
-            fchunk_vg = jax.value_and_grad(
-                jax.checkpoint(fchunk_fn, policy=policy)
-            )
-
-            def shard_fn(params, sub, base):
-                # per chip: block_in + its own cs stages in ONE fused
-                # pass; block_in's redundant recompute rides the chip's
-                # own halo exchanges (row-rate bound) for ~free, and its
-                # gradient arrives inside gp — two psums total
-                bits, gp = fchunk_vg(params, sub, base[0])
-                bits = jax.lax.psum(bits, axis)
-                grads = jax.lax.psum(gp, axis)
-                return bits, grads
-        else:
-            xg_fwd = jax.checkpoint(
-                lambda p, sub: sb_x_glob(p, cfg, geom_of(sub), sub_slices),
-                policy=policy,
-            )
-
-            def chunk_fn(p, xg, sub, base):
-                return sb_chunk_bits(
-                    p, cfg, geom_of(sub), unpack_bits(sub["occ"]), base,
-                    cs, xg,
-                )
-
-            chunk_vg = jax.value_and_grad(
-                jax.checkpoint(chunk_fn, policy=policy), argnums=(0, 1)
-            )
-
-            def shard_fn(params, sub, base):
-                # per chip: its own cs-stage chunk of this level group
-                x_glob, bi_vjp = jax.vjp(lambda p: xg_fwd(p, sub), params)
-                bits, (gp, gx) = chunk_vg(params, x_glob, sub, base[0])
-                bits = jax.lax.psum(bits, axis)
-                gp = jax.lax.psum(gp, axis)
-                gx = jax.lax.psum(gx, axis)
-                grads = jax.tree_util.tree_map(jnp.add, gp, bi_vjp(gx)[0])
-                return bits, grads
+        def shard_fn(params, sub, base):
+            # per chip: its own cs-stage chunk of this level group
+            return chunk_grads(params, sub, base[0])
 
         return shard_map(
             shard_fn,

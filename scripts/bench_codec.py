@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--depth", type=int, default=10)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--out", type=str, default=None,
+                    help="also write the JSON record here (committed "
+                         "artifact, e.g. docs/BENCH_CODEC_r04.json) so "
+                         "codec perf is driver-visible, not log-ware")
     args = ap.parse_args()
 
     import jax
@@ -86,7 +90,18 @@ def main():
             else int(v / (args.runs * args.frames))
             for k, v in sorted(PROF.items())
         }
+    from linr_pcgc_tpu.runtime.dev_codec import _probs_mode
+
+    rec["probs_mode"] = _probs_mode()
+    rec["config"] = {
+        "points": args.points, "frames": args.frames,
+        "depth": args.depth, "runs": args.runs,
+        "platform": jax.devices()[0].platform,
+    }
     print(json.dumps(rec))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rec, f, indent=2)
 
 
 if __name__ == "__main__":

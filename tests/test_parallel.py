@@ -496,3 +496,74 @@ def test_gop_parallel_cli_end_to_end(tmp_path):
             read_ply(str(tmp_path / "dec" / f"frame{t:04d}.ply")),
             np.unique(frames[t], axis=0),
         )
+
+
+def test_gop_sp_2d_matches_sequential():
+    """The 2-D (gop x sp) trainer — 2 concurrent GOPs, each 2-way
+    stage-parallel — must reproduce each GOP's sequential trajectory:
+    per gop column the math is the sp trainer's exact
+    (level-group x stage-chunk) decomposition, psum'd over "sp" only."""
+    from linr_pcgc_tpu.parallel import (
+        make_epoch_fn_gop_sp,
+        make_mesh_gop_sp,
+        shard_gop_batches,
+        stack_gop_state,
+    )
+    from linr_pcgc_tpu.runtime.sb_overfit import (
+        assemble_gops_superbricks,
+        make_epoch_fn_sb,
+    )
+
+    g_lanes, sp, gop_size = 2, 2, 2
+    frames = [
+        synthetic_cloud(900, depth=6, seed=40 + s)
+        for s in range(g_lanes * gop_size)
+    ]
+    ds = PyramidDataset(frames, handle_dir=None)
+    ds[0]
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    tc = TrainConfig(step_size=3)
+    pyr_groups = [
+        [ds[g * gop_size + i] for i in range(gop_size)]
+        for g in range(g_lanes)
+    ]
+    batches = assemble_gops_superbricks(pyr_groups)
+
+    params0 = init_params(jax.random.PRNGKey(11), cfg)
+    opt0 = adam_init(params0)
+    mesh = make_mesh_gop_sp(g_lanes, sp)
+    assert mesh.shape == {"gop": g_lanes, "sp": sp}
+    epoch_2d = make_epoch_fn_gop_sp(cfg, tc, batches[0].level_slices, mesh)
+    p_s, o_s, lr_s, k_s = stack_gop_state(
+        params0, opt0, 0.01, 0, g_lanes, mesh
+    )
+    arrays = shard_gop_batches(batches, mesh)
+
+    epochs = 3
+    losses_2d = []
+    for _ in range(epochs):
+        p_s, o_s, lr_s, k_s, losses = epoch_2d(p_s, o_s, lr_s, k_s, arrays)
+        losses_2d.append(np.asarray(losses))
+    losses_2d = np.stack(losses_2d)  # (E, G, F)
+
+    epoch_seq = make_epoch_fn_sb(cfg, tc, batches[0].level_slices)
+    for g in range(g_lanes):
+        p = jax.tree_util.tree_map(jnp.copy, params0)
+        o = adam_init(params0)
+        lr = jnp.asarray(0.01, jnp.float32)
+        k = jnp.zeros((), jnp.int32)
+        seq = []
+        for _ in range(epochs):
+            p, o, lr, k, losses = epoch_seq(p, o, lr, k, batches[g])
+            seq.append(np.asarray(losses))
+        seq = np.stack(seq)  # (E, F)
+        # frame 0 is computed at identical params (pre-update); later
+        # frames sit behind Adam steps and inherit the O(lr)
+        # reduction-order amplification (same bound as the sp test)
+        np.testing.assert_allclose(losses_2d[0, g, 0], seq[0, 0], rtol=1e-5)
+        np.testing.assert_allclose(
+            losses_2d[:, g], seq, rtol=1e-2, err_msg=f"gop {g}"
+        )
+    np.testing.assert_array_equal(
+        np.asarray(k_s), np.full(g_lanes, epochs * gop_size)
+    )
