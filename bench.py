@@ -119,18 +119,34 @@ def main():
     elapsed = time.time() - st
     s_per_frame_epoch = elapsed / (n_epochs * n_frames)
 
-    print(
-        json.dumps(
-            {
-                "metric": "overfit_step_time",
-                "value": round(s_per_frame_epoch, 5),
-                "unit": "s/frame/epoch",
-                "vs_baseline": round(BASELINE_S_PER_FRAME_EPOCH / s_per_frame_epoch, 3),
-                "assembly_s_per_frame": round(assembly_s, 3),
-                "final_loss": round(float(np.mean(np.asarray(losses))), 4),
-            }
-        )
-    )
+    rec = {
+        "metric": "overfit_step_time",
+        "value": round(s_per_frame_epoch, 5),
+        "unit": "s/frame/epoch",
+        "vs_baseline": round(BASELINE_S_PER_FRAME_EPOCH / s_per_frame_epoch, 3),
+        "assembly_s_per_frame": round(assembly_s, 3),
+        "final_loss": round(float(np.mean(np.asarray(losses))), 4),
+    }
+    # codec tail: echo the latest committed scripts/bench_codec.py artifact
+    # so codec perf is recorded by the driver bench, not only in docs/
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in ("BENCH_CODEC_r04.json", "BENCH_CODEC_r03.json"):
+        path = os.path.join(here, "docs", name)
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    cb = json.load(f)
+                # bench_codec.py --out writes flat keys; the r03 artifact
+                # nests them under "round3"
+                rnd = cb if "enc_s_per_frame" in cb else cb.get("round3", {})
+                rec["codec_artifact"] = name
+                rec["codec_enc_s_per_frame"] = rnd.get("enc_s_per_frame")
+                rec["codec_dec_s_per_frame"] = rnd.get("dec_s_per_frame")
+            except Exception as e:  # never let the tail break the bench
+                log(f"codec tail skipped: {e}")
+            break
+
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -567,3 +567,41 @@ def test_gop_sp_2d_matches_sequential():
     np.testing.assert_array_equal(
         np.asarray(k_s), np.full(g_lanes, epochs * gop_size)
     )
+
+
+def test_gop_lanes_cli_end_to_end(tmp_path):
+    """--devices 4 --parallel gop --gop_lanes 2 through the production
+    CLI: GOP 0 trains 4-way stage-parallel, the two warm GOPs train
+    concurrently as 2 lanes x 2-way sp on the (gop, sp) mesh, and the
+    full encode->decode is lossless."""
+    from linr_pcgc_tpu import cli
+    from linr_pcgc_tpu.data import write_ply_ascii, read_ply
+
+    ori = tmp_path / "ply"
+    ori.mkdir()
+    frames = []
+    for t in range(6):
+        pts = synthetic_cloud(800, depth=6, seed=7, phase=0.1 * t)
+        frames.append(pts)
+        write_ply_ascii(str(ori / f"frame{t:04d}.ply"), pts)
+
+    cli.main(
+        [
+            "--overfit", "True", "--encode", "True", "--decode", "True",
+            "--ori_dir", str(ori),
+            "--handle_dir", str(tmp_path / "tmp"),
+            "--result_dir", str(tmp_path / "out"),
+            "--encode_dir", str(tmp_path / "enc"),
+            "--decode_dir", str(tmp_path / "dec"),
+            "--frame_num", "6", "--gop_size", "2",
+            "--first_epoch", "2", "--others_epoch", "1",
+            "--devices", "4", "--parallel", "gop", "--gop_lanes", "2",
+        ]
+    )
+    for name in ("gop_0_1", "gop_2_3", "gop_4_5"):
+        assert os.path.exists(tmp_path / "out" / name / "model.npz"), name
+    for t in range(6):
+        np.testing.assert_array_equal(
+            read_ply(str(tmp_path / "dec" / f"frame{t:04d}.ply")),
+            np.unique(frames[t], axis=0),
+        )
