@@ -569,6 +569,19 @@ def encode_chunk_probs_dev(params, cfg: ModelConfig, pyrs, keep_device=False,
     is downloaded: returns [(s, probs_dev[stage] (tv,) f16, cols[stage]
     (F, Bv/8) u8 packed, geo, total, counts, tv), ...] for the device
     rANS sweep.
+
+    HBM high-water accounting (round-3 advisor): keep_device retains the
+    per-stage f16 probabilities and packed bit columns of EVERY level
+    until the rANS sweep — outstage x 2 B/voxel x Sum_s tv_s ~ 16 B x
+    1.3 x chunk voxels ~ 70 MB at the production chunk (4 x 800k pts),
+    linear in CODEC_FRAME_CHUNK.  The big geometry arrays (code/nbr27)
+    are NOT retained — only the slim per-voxel maps.  Releasing levels
+    eagerly would require per-level rANS state chains (rANS is LIFO:
+    coarse levels decode first so must be encoded LAST, but dispatch
+    must run coarse-to-fine), costing LANES x 8 B of header per level
+    (~9 KB/chunk, a few % of the wire) — rejected while the retained
+    set stays two orders of magnitude under HBM; raise
+    CODEC_FRAME_CHUNK past ~100 frames before revisiting.
     """
     f = len(pyrs)
     mode = probs_mode or _probs_mode()
