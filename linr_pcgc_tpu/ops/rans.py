@@ -47,7 +47,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-LANES = 128          # rANS lanes: header cost = LANES * 8 bytes per chunk
+# rANS lane count.  The scans are the codec's only sequential device
+# work (N/LANES steps per segment) and the decode step is gather-bound
+# (one stream byte-read per lane per renorm): at 128 lanes a production
+# level-0 segment (~3.7M symbols) took 28.7k steps = 181 ms/stage on
+# v5e; 1024 lanes cuts the step count 8x for a header cost of
+# LANES * 8 B = 8 KB per frame chunk (~0.1% of the wire).  Every level
+# bucket is a multiple of 1024 (data.dataset.bucket_size), so segments
+# always divide evenly.  LANES is a wire-format constant: the blob
+# header records it and the reader refuses a mismatch.
+LANES = 1024
 RANS_L = 1 << 23     # state lower bound (ryg rans_byte convention)
 PROB_BITS = 16
 PROB_SCALE = 1 << PROB_BITS
@@ -299,7 +308,12 @@ def unpack_rans_blob(blob: bytes):
     word0 = int(np.frombuffer(blob[:4], np.uint32)[0])
     has_crc = bool(word0 & int(_V2_FLAG))
     lanes = word0 & ~int(_V2_FLAG)
-    assert lanes == LANES, (lanes, LANES)
+    if lanes != LANES:
+        raise ValueError(
+            f"rans blob was written with {lanes} lanes; this build decodes "
+            f"{LANES} (the lane count is a wire-format constant — re-encode "
+            "the stream)"
+        )
     off = 4
     crc_stored = None
     if has_crc:

@@ -287,7 +287,7 @@ def encode_frame(params, cfg: ModelConfig, pyr: FramePyramid) -> dict:
 
 def decode_gop_streams(
     params, cfg: ModelConfig, frame_blobs: list, lows: list[np.ndarray],
-    probs_mode=None,
+    probs_mode=None, fused_budget_gb=None,
 ):
     """Decode all frames of a GOP coarse-to-fine, stage-synchronous.
 
@@ -299,13 +299,15 @@ def decode_gop_streams(
         from .dev_codec import decode_gop_streams_rans
 
         return decode_gop_streams_rans(
-            params, cfg, frame_blobs, lows, probs_mode=probs_mode
+            params, cfg, frame_blobs, lows, probs_mode=probs_mode,
+            fused_budget_gb=fused_budget_gb,
         )
     if _use_sb(cfg):
         from .dev_codec import decode_gop_streams_dev
 
         return decode_gop_streams_dev(
-            params, cfg, frame_blobs, lows, probs_mode=probs_mode
+            params, cfg, frame_blobs, lows, probs_mode=probs_mode,
+            fused_budget_gb=fused_budget_gb,
         )
     return decode_gop_streams_gather(params, cfg, frame_blobs, lows)
 
@@ -523,13 +525,19 @@ def _numerics_info() -> dict:
     both sides in the reference).  The probs mode is ADOPTED by the
     decoder rather than enforced (decode_gop passes it down)."""
     from ..ops.superbricks import _conv_kernel_mode
-    from .dev_codec import CDT, _probs_mode
+    from .dev_codec import CDT, _fused_budget_gb, _probs_mode
 
-    return {
+    info = {
         "dtype": "f32" if CDT == jnp.float32 else "bf16",
         "conv_kernel": _conv_kernel_mode(),
         "probs": _probs_mode(),
     }
+    if info["probs"] == "fused":
+        # the per-level stage-batch width cs derives from (shapes, this
+        # budget); the decoder adopts the encoder's value so both sides
+        # pick identical executables even if their env configs differ
+        info["fused_budget_gb"] = _fused_budget_gb()
+    return info
 
 
 def decode_gop(
@@ -565,14 +573,19 @@ def decode_gop(
 
     enc_num = side_info.get("numerics")
     probs_mode = None
+    fused_budget_gb = None
     if enc_num is not None and _use_sb(cfg):
         enc_num = dict(enc_num)
         # the probs executable shape travels with the bitstream and the
         # decoder simply adopts it (pre-round-4 side_info carries no
-        # "probs" key: those streams were stage-serial)
+        # "probs" key: those streams were stage-serial), as does the
+        # fused-cs HBM budget it was derived under
         probs_mode = enc_num.pop("probs", "stage")
+        fused_budget_gb = enc_num.pop("fused_budget_gb", None)
         dec_num = {
-            k: v for k, v in _numerics_info().items() if k != "probs"
+            k: v
+            for k, v in _numerics_info().items()
+            if k not in ("probs", "fused_budget_gb")
         }
         if dec_num != enc_num:
             raise ValueError(
@@ -618,7 +631,8 @@ def decode_gop(
         os.makedirs(dec_dir, exist_ok=True)
 
     coords_list = decode_gop_streams(
-        params, cfg, frame_blobs, lows, probs_mode=probs_mode
+        params, cfg, frame_blobs, lows, probs_mode=probs_mode,
+        fused_budget_gb=fused_budget_gb,
     )
     expect = side_info.get("frame_points")
     if expect is not None:

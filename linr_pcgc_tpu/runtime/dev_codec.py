@@ -275,43 +275,74 @@ def _enc_occ_buffers(cols7, vox_brick, vox_slot, occ_buf, vox_occ):
     return occ_buf, vox_occ
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+# HBM cap for the fused probability executable.  The stage-batch axis
+# scales the context block's halo temporaries LINEARLY (largest: the
+# IRN merged conv's (Bb, cs, 216*(ch+ch/2)) bf16 halo concat), and at
+# production level-0 shapes cs=8 was measured to need 28.8 GB of HLO
+# temp on the 15.75 GB chip (327680 bricks x 8 stages ~ 11 KB per
+# brick-stage).  Both codec sides derive the SAME cs from shapes they
+# share by construction (bb = frames x brick bucket), and the encoder's
+# budget travels in side_info["numerics"]["fused_budget_gb"] so a
+# differently-configured decoder still builds identical executables.
+_FUSED_TEMP_BYTES_PER_BRICK_STAGE = 11_000  # measured, ch=8, bf16
+
+
+def _fused_budget_gb() -> float:
+    return float(os.environ.get("LINR_FUSED_BUDGET_GB", "8"))
+
+
+def _fused_cs(bb: int, cfg: ModelConfig, budget_gb: float) -> int:
+    """Largest stage-batch width cs (divisor of outstage) whose fused
+    executable fits the HBM budget at ``bb`` bricks."""
+    per = _FUSED_TEMP_BYTES_PER_BRICK_STAGE * max(cfg.ch, 8) / 8.0
+    for cs in sorted(
+        (d for d in range(1, cfg.outstage + 1) if cfg.outstage % d == 0),
+        reverse=True,
+    ):
+        if bb * cs * per <= budget_gb * 1e9:
+            return cs
+    return 1
+
+
+@partial(jax.jit, static_argnames=("cfg", "cs"))
 def _fused_probs(params, cfg: ModelConfig, occ_buf, code, nbr27,
-                 x_glob, sel):
-    """The SHARED all-stage probability executable (probs_mode="fused"):
-    sb_chunk_logits with cs=outstage — the training forward shape.
+                 x_glob, sel, base, cs: int):
+    """The SHARED stage-batched probability executable
+    (probs_mode="fused"): sb_chunk_logits for the ``cs`` stages starting
+    at traced ``base`` — the training forward shape.
 
     Bit-exactness discipline: differently-SHAPED XLA programs are not
     bitwise-interchangeable (a cs=8 and a cs=1 compilation of the same
     math were measured 1 ULP apart on ~0.02% of f16 probabilities —
-    reduction orders differ), so BOTH codec sides run THIS executable:
+    reduction orders differ), so BOTH codec sides run THIS executable
+    with the SAME static cs (derived from shared shapes, _fused_cs):
 
       * the encoder fills all ground-truth occupancy columns up front
-        (_enc_occ_buffers) and calls it ONCE per level — the halo
-        exchange is gather ROW-rate bound (27 x Bb rows regardless of
-        the stage-batch width), so one cs=8 pass replaces 8 serial
-        `_stage_step` dispatches at far less than 8x the cost;
-      * the decoder calls it once per stage j on its PARTIAL occupancy
-        (columns >= j still zero) and keeps row j only.  Row j is
-        bitwise identical to the encoder's row j BY CONSTRUCTION: the
-        in-executable tri mask multiplies occupancy channel c by exactly
-        0.0 for c >= j, so the two calls' row-j compute consumes
-        identical values through the identical program — equality does
-        not rest on fusion luck across programs.
+        (_enc_occ_buffers) and calls it outstage/cs times per level —
+        the halo exchange is gather ROW-rate bound (27 x Bb rows
+        regardless of the stage-batch width), so one cs-wide pass
+        replaces cs serial `_stage_step` dispatches at far less than
+        cs x the cost;
+      * the decoder calls it once per stage j with base = (j//cs)*cs on
+        its PARTIAL occupancy (columns >= j still zero) and keeps row
+        j - base only.  That row is bitwise identical to the encoder's
+        BY CONSTRUCTION: the in-executable tri mask multiplies occupancy
+        channel c by exactly 0.0 for c >= j, so the two calls' row-j
+        compute consumes identical values through the identical
+        program — equality does not rest on fusion luck across programs.
 
     ``occ_buf`` is NOT donated: the decoder reuses it across stages.
-    Returns (outstage, tv) f16 probabilities in compacted voxel order.
+    Returns (cs, tv) f16 probabilities in compacted voxel order.
     """
     from ..models.sb_network import sb_chunk_logits
 
     mask = (code >= 0).astype(CDT)[:, None, None, :]
     geom = dict(nbr27=nbr27, mask=mask, code=code, dtype=CDT)
     logits = sb_chunk_logits(
-        params, cfg, geom, occ_buf.astype(CDT), jnp.int32(0),
-        cfg.outstage, x_glob,
-    )  # (Bb, outstage, slots)
+        params, cfg, geom, occ_buf.astype(CDT), base, cs, x_glob,
+    )  # (Bb, cs, slots)
     pr = jax.nn.sigmoid(logits.astype(F32))
-    prs = pr.transpose(1, 0, 2).reshape(cfg.outstage, -1)
+    prs = pr.transpose(1, 0, 2).reshape(cs, -1)
     return jnp.take(prs, sel, axis=1).astype(jnp.float16)
 
 
@@ -427,6 +458,47 @@ def _rans_dec_stage(states, cursors, stream, pr, vox_fr, vox_j, total,
     ].set(bits, mode="drop")
     bits_acc = jax.lax.dynamic_update_index_in_dim(bits_acc, bits, stage, 0)
     return states, cursors, _pack_cols(col), bits_acc
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 7, 8, 9))
+def _rans_dec_stage_scatter(states, cursors, stream, pr, vox_fr, vox_j,
+                            total, bits_acc, occ_buf, vox_occ, stage,
+                            vox_brick, vox_slot):
+    """Fused-probs-mode stage round tail: rANS-decode stage ``stage``'s
+    bits AND scatter them straight into occupancy column ``stage`` of the
+    brick/per-voxel buffers — the next `_fused_probs` call's context —
+    in ONE dispatch (replaces `_rans_dec_stage` + the next round's
+    `_scatter_col`).  The probability producer stays its own executable
+    (the bit-exactness boundary); this only fuses the integer tail.
+
+    Returns (states, cursors, occ_buf, vox_occ, bits7_packed, bits_acc);
+    the packed column is still emitted for the level transition's
+    stage-7 input."""
+    f, bv = vox_brick.shape
+    cap = occ_buf.shape[0] // f
+    tv = pr.shape[0]
+    valid = jnp.arange(tv, dtype=jnp.int32) < total
+    states, cursors, bits = rans_decode_segment(
+        states, cursors, stream, pr, valid
+    )
+    col = jnp.zeros((f, bv), jnp.uint8).at[
+        jnp.where(valid, vox_fr, f), jnp.where(valid, vox_j, 0)
+    ].set(bits, mode="drop")
+    bits_acc = jax.lax.dynamic_update_index_in_dim(bits_acc, bits, stage, 0)
+    fr = jnp.broadcast_to(jnp.arange(f, dtype=jnp.int32)[:, None], (f, bv))
+    flat_b = jnp.where(
+        vox_brick >= 0, fr * cap + vox_brick, f * cap
+    ).reshape(-1)
+    occ_buf = occ_buf.at[
+        flat_b, jnp.broadcast_to(stage, flat_b.shape), vox_slot.reshape(-1)
+    ].set(col.reshape(-1), mode="drop")
+    jv = jnp.broadcast_to(
+        jnp.arange(bv, dtype=jnp.int32)[None], (f, bv)
+    ).reshape(-1)
+    vox_occ = vox_occ.at[
+        fr.reshape(-1), jv, jnp.broadcast_to(stage, (f * bv,))
+    ].set(col.reshape(-1), mode="drop")
+    return states, cursors, occ_buf, vox_occ, _pack_cols(col), bits_acc
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -558,7 +630,7 @@ def _resize_coords(coords, keys, bv: int):
 
 
 def encode_chunk_probs_dev(params, cfg: ModelConfig, pyrs, keep_device=False,
-                           probs_mode=None):
+                           probs_mode=None, fused_budget_gb=None):
     """Device-chain encode of one frame chunk: per level, the per-stage
     probability and ground-truth bit arrays (the decoder's exact
     executables; all 8 stage dispatches pipeline on device since the
@@ -585,6 +657,8 @@ def encode_chunk_probs_dev(params, cfg: ModelConfig, pyrs, keep_device=False,
     """
     f = len(pyrs)
     mode = probs_mode or _probs_mode()
+    if fused_budget_gb is None:
+        fused_budget_gb = _fused_budget_gb()
     s_num = pyrs[0].scale_num
     shapes = _LevelShapes(
         s_num, [p.low_coords.astype(np.int32) for p in pyrs]
@@ -630,19 +704,23 @@ def encode_chunk_probs_dev(params, cfg: ModelConfig, pyrs, keep_device=False,
             for stage in range(cfg.outstage)
         ]
         if mode == "fused":
-            # ONE all-stage executable per level (round-3 verdict next
-            # #4): the encoder knows every stage's bits, so the 8 serial
-            # _stage_step dispatches collapse to one cs=8 pass — ~8x
-            # fewer gather-row-rate-bound halo exchanges
+            # outstage/cs stage-batched executables per level (round-3
+            # verdict next #4): the encoder knows every stage's bits, so
+            # the 8 serial _stage_step dispatches collapse to cs-wide
+            # passes — cs x fewer gather-row-rate-bound halo exchanges,
+            # with cs capped by the shared HBM model (_fused_cs)
+            cs = _fused_cs(geo["code"].shape[0], cfg, fused_budget_gb)
             occ_buf, vox_occ = _enc_occ_buffers(
                 jnp.stack(cols[: cfg.outstage - 1]),
                 geo["vox_brick"], geo["vox_slot"], occ_buf, vox_occ,
             )
-            prs = _fused_probs(
-                params, cfg, occ_buf, geo["code"], geo["nbr27"], xg,
-                geo["sel"],
-            )  # (outstage, tv) f16, device
-            probs_dev = [prs[stage] for stage in range(cfg.outstage)]
+            probs_dev = []
+            for b0 in range(0, cfg.outstage, cs):
+                prs = _fused_probs(
+                    params, cfg, occ_buf, geo["code"], geo["nbr27"], xg,
+                    geo["sel"], jnp.int32(b0), cs,
+                )  # (cs, tv) f16, device
+                probs_dev.extend(prs[i] for i in range(cs))
         else:
             probs_dev = []
             prev = jnp.zeros((f, bv // 8), jnp.uint8)
@@ -789,7 +867,7 @@ def encode_gop_streams_dev(params, cfg: ModelConfig, pyramids):
 
 
 def decode_gop_streams_rans(params, cfg: ModelConfig, wire, lows,
-                            probs_mode=None):
+                            probs_mode=None, fused_budget_gb=None):
     """Decode from per-chunk rans blobs: the entropy decode runs ON
     device, chained into the stage loop — per level the host does ONE
     download (the packed decoded bits, for shape derivation and the
@@ -797,11 +875,13 @@ def decode_gop_streams_rans(params, cfg: ModelConfig, wire, lows,
     return decode_gop_streams_dev(
         params, cfg, None, lows, rans_chunks=wire["rans"],
         s_num=wire.get("s_num") or cfg.scale_num, probs_mode=probs_mode,
+        fused_budget_gb=fused_budget_gb,
     )
 
 
 def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
-                           rans_chunks=None, s_num=None, probs_mode=None):
+                           rans_chunks=None, s_num=None, probs_mode=None,
+                           fused_budget_gb=None):
     """Decode all frames coarse-to-fine with the device-resident chain.
 
     Per level: 8 serial {device stage-step -> host AC -> packed bits up}
@@ -816,6 +896,8 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
 
     f_total = len(lows)
     mode = probs_mode or _probs_mode()
+    if fused_budget_gb is None:
+        fused_budget_gb = _fused_budget_gb()
     if s_num is None:
         s_num = len(frame_blobs[0])
     out_coords = [None] * f_total
@@ -865,6 +947,7 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
             prev = jnp.zeros((f, bv // 8), jnp.uint8)
             total = sum(counts)
             offs_f = np.concatenate([[0], np.cumsum(counts)])
+            cs = _fused_cs(geo["code"].shape[0], cfg, fused_budget_gb)
             if rans_chunks is not None:
                 # device entropy decode: zero host round trips inside the
                 # stage loop; ONE packed-bits download per level
@@ -872,26 +955,31 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
                 for stage in range(cfg.outstage):
                     with _prof("dec_dispatch"):
                         if mode == "fused":
-                            occ_buf, vox_occ = _scatter_col(
-                                occ_buf, vox_occ, prev,
-                                jnp.int32(max(stage - 1, 0)),
-                                geo["vox_brick"], geo["vox_slot"],
-                            )
+                            b0 = (stage // cs) * cs
                             pr = _fused_probs(
                                 params, cfg, occ_buf, geo["code"],
                                 geo["nbr27"], xg, geo["sel"],
-                            )[stage]
+                                jnp.int32(b0), cs,
+                            )[stage - b0]
+                            (r_st, r_cur, occ_buf, vox_occ, prev,
+                             bits_acc) = _rans_dec_stage_scatter(
+                                r_st, r_cur, r_stream, pr, geo["vox_fr"],
+                                geo["vox_j"], jnp.int32(total), bits_acc,
+                                occ_buf, vox_occ, jnp.int32(stage),
+                                geo["vox_brick"], geo["vox_slot"],
+                            )
                         else:
                             occ_buf, vox_occ, pr = _stage_step(
                                 params, cfg, occ_buf, vox_occ, geo["code"],
                                 geo["nbr27"], xg, jnp.int32(stage), prev,
                                 geo["vox_brick"], geo["vox_slot"], geo["sel"],
                             )
-                        r_st, r_cur, prev, bits_acc = _rans_dec_stage(
-                            r_st, r_cur, r_stream, pr, geo["vox_fr"],
-                            geo["vox_j"], jnp.int32(total), bits_acc,
-                            jnp.int32(stage), jnp.zeros((f, bv // 8), jnp.uint8),
-                        )
+                            r_st, r_cur, prev, bits_acc = _rans_dec_stage(
+                                r_st, r_cur, r_stream, pr, geo["vox_fr"],
+                                geo["vox_j"], jnp.int32(total), bits_acc,
+                                jnp.int32(stage),
+                                jnp.zeros((f, bv // 8), jnp.uint8),
+                            )
                 bits_packed_dev = _pack_tv(bits_acc)  # dispatch, no sync
                 if pending_up is not None:
                     # overlap: the device is busy with this level's stage
@@ -926,10 +1014,12 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
                                 jnp.int32(max(stage - 1, 0)),
                                 geo["vox_brick"], geo["vox_slot"],
                             )
+                            b0 = (stage // cs) * cs
                             pr = _fused_probs(
                                 params, cfg, occ_buf, geo["code"],
                                 geo["nbr27"], xg, geo["sel"],
-                            )[stage]
+                                jnp.int32(b0), cs,
+                            )[stage - b0]
                         else:
                             occ_buf, vox_occ, pr = _stage_step(
                                 params, cfg, occ_buf, vox_occ, geo["code"],

@@ -206,19 +206,31 @@ def test_rans_codec_multichunk_lossless(monkeypatch):
 
 def test_rans_vs_ac_rate_parity(monkeypatch):
     """The device rANS wire must cost ~the same bits as the host AC wire
-    (same 16-bit probability staircase resolution; rANS adds one
-    LANES x {state,len} header per chunk, AC adds per-(frame,scale,stage)
-    stream framing)."""
+    (same 16-bit probability staircase resolution).  The rANS chunk
+    header (8 + 8 x LANES bytes of {state,len} per chunk, ~0.1% of a
+    production chunk's wire) is subtracted before comparing: at THIS
+    test's size it would dominate, which says nothing about coding
+    efficiency."""
+    from linr_pcgc_tpu.ops.rans import LANES
     from linr_pcgc_tpu.runtime.codec import encode_gop_streams
 
     cfg, params, pyrs, _ = _codec_setup(2)
     wire_r, bits_rans = encode_gop_streams(params, cfg, pyrs)
     assert isinstance(wire_r, dict)
+    n_chunks = len(wire_r["rans"])
+    header_bits = 8 * (8 + 8 * LANES) * n_chunks
     monkeypatch.setenv("LINR_CODEC_ENTROPY", "ac")
     wire_a, bits_ac = encode_gop_streams(params, cfg, pyrs)
     assert not isinstance(wire_a, dict)
-    # untrained probs ~ 1 bit/symbol; headers are noise at this size
-    assert abs(bits_rans - bits_ac) / bits_ac < 0.05, (bits_rans, bits_ac)
+    # untrained probs ~ 1 bit/symbol; payloads must match closely.  The
+    # payload may legitimately UNDERSHOOT the AC stream: each final lane
+    # state (header) absorbs up to 8 bits of payload information (the
+    # state grows from 2^23 toward 2^31 and is never flushed), so allow
+    # 8 x LANES bits per chunk on the low side.
+    payload = bits_rans - header_bits
+    state_info_bits = 8 * LANES * n_chunks
+    assert payload < bits_ac * 1.05, (payload, bits_ac)
+    assert payload + state_info_bits > bits_ac * 0.95, (payload, bits_ac)
 
 
 def test_ac_fallback_lossless(monkeypatch):

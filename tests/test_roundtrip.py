@@ -474,6 +474,42 @@ def test_fused_probs_roundtrip(monkeypatch):
         )
 
 
+def test_fused_probs_cs_capped_roundtrip(tmp_path, monkeypatch):
+    """The fused executable's stage-batch width cs is capped by a shared
+    HBM model (_fused_cs): at production level-0 shapes cs=8 was measured
+    to need 28.8 GB of temp on a 15.75 GB chip, so the encoder splits the
+    all-stage pass into outstage/cs calls and the decoder derives the
+    SAME cs from the same shapes.  Force a tiny budget so the split path
+    (cs < 8) runs end to end, and check the budget travels in side_info:
+    a decoder whose env default differs must adopt the encoder's value or
+    it would build differently-shaped (non-bit-identical) executables."""
+    import json
+
+    from linr_pcgc_tpu.runtime.codec import encode_gop, decode_gop
+    from linr_pcgc_tpu.runtime.dev_codec import _fused_cs
+    from linr_pcgc_tpu.runtime.overfit import adam_init, save_checkpoint
+
+    tiny = 2e-6  # ~2 KB: forces cs=1 at any real brick count
+    assert _fused_cs(1000, ModelConfig(scale_num=3), tiny) == 1
+    assert _fused_cs(1000, ModelConfig(scale_num=3), 8.0) == 8
+
+    monkeypatch.setenv("LINR_CODEC_PROBS", "fused")
+    monkeypatch.setenv("LINR_FUSED_BUDGET_GB", str(tiny))
+    ds, frames = small_dataset(1, n_pts=2200)
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    params = init_params(jax.random.PRNGKey(9), cfg)
+    model_path = str(tmp_path / "model.npz")
+    save_checkpoint(model_path, params, adam_init(params), 0.01, 0, 1.0, 8)
+    enc_dir = str(tmp_path / "enc")
+    encode_gop(model_path, [ds[0]], enc_dir, cfg)
+    with open(tmp_path / "enc" / "side_info.json") as f:
+        assert json.load(f)["numerics"]["fused_budget_gb"] == tiny
+
+    monkeypatch.delenv("LINR_FUSED_BUDGET_GB")  # decoder env default (8 GB)
+    decoded = decode_gop(enc_dir, None, cfg=None)
+    np.testing.assert_array_equal(decoded[0], np.unique(frames[0], axis=0))
+
+
 def test_stage_probs_roundtrip(monkeypatch):
     """probs_mode="stage" (the pre-round-4 wire, 8 x the cs=1
     `_stage_step` executable on both sides) stays lossless end to end on
