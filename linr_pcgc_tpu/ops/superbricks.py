@@ -30,6 +30,7 @@ slots keep the dense brick convolution exactly submanifold.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 
 import numpy as np
@@ -799,9 +800,7 @@ def _b4_convsm_bwd(res, dy):
         from .pallas_conv import plane_matmul, plane_moment
 
         dx = plane_matmul(g, wt, o, c)
-        m = plane_moment(x, g, c, o).reshape(
-            s, B4_SLOTS, c, B4_HALO_VOL, o
-        )
+        dw = moment_taps(plane_moment(x, g, c, o), c, o)
     else:
         dx = jnp.einsum(
             "bsj,sjm->bsm", g, wt,
@@ -812,11 +811,13 @@ def _b4_convsm_bwd(res, dy):
             "bsu,bsj->suj", x, g,
             precision=_sm_prec(dt), preferred_element_type=jnp.float32,
         ).reshape(s, B4_SLOTS, c, B4_HALO_VOL, o)
-    # tap k pairs x at voxel u with dy at u - off_k = halo position
-    # SEL[flip(k), u, :]
-    dw = jnp.einsum(
-        "kuj,sucjo->skco", _SEL_B4[np.asarray(_FLIP)], m.astype(jnp.float32)
-    )
+        # tap k pairs x at voxel u with dy at u - off_k = halo position
+        # SEL[flip(k), u, :]
+        dw = jnp.einsum(
+            "kuj,sucjo->skco",
+            _SEL_B4[np.asarray(_FLIP)],
+            m.astype(jnp.float32),
+        )
     d_nbr = np.zeros(nbr27.shape, dtype=jax.dtypes.float0)
     return dx, dw.astype(w.dtype), d_nbr
 
@@ -876,10 +877,7 @@ def _b4_convsm_bm_bwd(res, dy):
     wt_src = jnp.swapaxes(w[..., _FLIP, :, :], -1, -2)
     wt = b4_conv_weight_matrix_sm(wt_src).astype(dt)
     dx = plane_matmul(g, wt, o, c)
-    m = plane_moment(x, g, c, o).reshape(s, B4_SLOTS, c, B4_HALO_VOL, o)
-    dw = jnp.einsum(
-        "kuj,sucjo->skco", _SEL_B4[np.asarray(_FLIP)], m.astype(jnp.float32)
-    )
+    dw = moment_taps(plane_moment(x, g, c, o), c, o)
     db = jnp.sum(
         dym.astype(jnp.float32).reshape(bb, s, B4_SLOTS, o), axis=(0, 2)
     )
@@ -1012,6 +1010,33 @@ def _b4_sel_tensor():
 
 
 _SEL_B4 = jnp.asarray(_b4_sel_tensor())  # (27, 64, 216)
+
+
+@functools.lru_cache(maxsize=1)
+def _sel_windows():
+    """Windowed, pre-flipped tap selection (4, 27, 16, 108): plane p's
+    slots u = p*16+r read only halo window [p*36, p*36+108), which is
+    what pallas_conv.plane_moment stores.  SELW[p, k] =
+    SEL[flip(k), p*16:(p+1)*16, p*36:(p+1+2)*36]."""
+    sel = np.asarray(_b4_sel_tensor())[np.asarray(_FLIP)]
+    selw = np.stack(
+        [
+            sel[:, p * 16: (p + 1) * 16, p * B4_PLANE: (p + 3) * B4_PLANE]
+            for p in range(B4)
+        ],
+        axis=0,
+    )
+    return jnp.asarray(selw)
+
+
+def moment_taps(mc, c: int, o: int):
+    """Compact windowed moment (S, 4, 16*c, 108*o) f32 (from
+    pallas_conv.plane_moment) -> dw (S, 27, c, o) via the static
+    pre-flipped tap selection.  Twin of the dense-m einsum on the XLA
+    path: tap k pairs x at voxel u with dy at u - off_k."""
+    s = mc.shape[0]
+    mc = mc.reshape(s, B4, 16, c, 3 * B4_PLANE, o)
+    return jnp.einsum("pkuj,spucjo->skco", _sel_windows(), mc)
 
 
 def b4_conv_weight_matrix(w):

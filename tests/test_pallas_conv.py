@@ -40,9 +40,9 @@ def test_plane_matmul_equals_dense_einsum():
 
 
 def test_plane_moment_matches_dense_in_window():
-    """The accumulated plane moments equal the dense x^T g moment inside
-    the plane windows, and are exactly zero outside (where the tap
-    selection never reads)."""
+    """The accumulated compact plane moments (S, 4, 16c, 108o) equal the
+    dense x^T g moment restricted to each plane's halo window (the only
+    entries the tap selection ever reads)."""
     bb, s, c, o = 700, 2, 4, 3
     x = _rand((bb, s, B4_SLOTS * c), 2)
     g = _rand((bb, s, B4_HALO_VOL * o), 3)
@@ -50,16 +50,13 @@ def test_plane_moment_matches_dense_in_window():
         jnp.einsum("bsu,bsj->suj", x, g, precision=jax.lax.Precision.HIGHEST)
     )
     got = np.asarray(plane_moment(x, g, c, o))
+    assert got.shape == (s, 4, 16 * c, 108 * o)
     for p in range(4):
         u0, u1 = p * 16 * c, (p + 1) * 16 * c
         j0, j1 = p * 36 * o, (p + 3) * 36 * o
         np.testing.assert_allclose(
-            got[:, u0:u1, j0:j1], ref[:, u0:u1, j0:j1], rtol=1e-4, atol=1e-4
+            got[:, p], ref[:, u0:u1, j0:j1], rtol=1e-4, atol=1e-4
         )
-        # off-window: exact zeros
-        row = got[:, u0:u1].copy()
-        row[:, :, j0:j1] = 0.0
-        assert np.all(row == 0.0), f"plane {p} leaked outside its window"
 
 
 def test_b4_convsm_pallas_mode_matches_xla(monkeypatch):
