@@ -10,6 +10,7 @@ voxel loss, so Adam/StepLR trajectories match the parity trainer
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 import jax
@@ -236,21 +237,45 @@ def make_frame_grads_sb(cfg: ModelConfig, level_slices,
         and cfg.block_layers == 1
         and cfg.block_type == "inception"
     )
+    bf16 = compute_dtype == jnp.bfloat16
     if stage_chunk is None:
-        # production peaks (800k-pt frames): slot-major 4^3 @ 8-stage
-        # fused chunks ~7 GB bf16 / ~14 GB f32 (no lane padding; measured
-        # round 3).  The channel-major 8^3 path keeps smaller chunks.
-        bf16 = compute_dtype == jnp.bfloat16
+        # Auto per GROUP (finest-level groups are the HBM peak).  Base
+        # width from the backend, then capped so the chunk's working set
+        # fits HBM: the measured bf16 fused demand at production config
+        # (hidden_channel_conv=8) is ~26 KB per brick-row incl. XLA
+        # fragmentation — 81920 bricks x (8+1) rows compiled to 18.87 GB
+        # and OOMed a 15.75 GB v5e (round 4 bench).  cs=4 twice costs the
+        # same wall time as cs=8 once at that size (docs/SP_MODEL_r04.json:
+        # 2 x 408.5 ms vs 812.4 ms) — the halo overhead amortizes by cs=4.
         if small:
-            stage_chunk = cfg.outstage
+            base_cs = cfg.outstage
         elif fused:
-            stage_chunk = 8 if bf16 else 4
+            base_cs = 8 if bf16 else 4
         elif slots == 64:
-            stage_chunk = 4 if bf16 else 2
+            base_cs = 4 if bf16 else 2
         else:
-            stage_chunk = 2
-    assert cfg.outstage % stage_chunk == 0, (cfg.outstage, stage_chunk)
-    n_chunks = cfg.outstage // stage_chunk
+            base_cs = 2
+        bpr = (26 if bf16 else 52) * 1024  # bytes per brick-row, measured
+        hbm_budget = float(
+            os.environ.get("LINR_SB_HBM_GB", "14")
+        ) * 2**30
+        divisors = [
+            d for d in range(cfg.outstage, 0, -1) if cfg.outstage % d == 0
+        ]
+
+        def pick_cs(group_bricks: int) -> int:
+            for d in divisors:
+                if d > base_cs:
+                    continue
+                if small or (d + 1) * group_bricks * bpr <= hbm_budget:
+                    return d
+            return 1
+
+    else:
+        assert cfg.outstage % stage_chunk == 0, (cfg.outstage, stage_chunk)
+
+        def pick_cs(group_bricks: int) -> int:
+            return stage_chunk
 
     from ..models.sb_network import (
         sb_chunk_bits,
@@ -258,7 +283,7 @@ def make_frame_grads_sb(cfg: ModelConfig, level_slices,
         sb_x_glob,
     )
 
-    def make_group_fn(sub_slices):
+    def make_group_fn(sub_slices, cs):
         """(params, sub) -> (bits, grads) for one level group.
 
         Structure: x_glob (input embedding + block_in) is computed ONCE
@@ -269,6 +294,7 @@ def make_frame_grads_sb(cfg: ModelConfig, level_slices,
         residuals).  The accumulated d(x_glob) is folded back through the
         block_in VJP at the end.  Exact: the loss is a sum over stages.
         """
+        n_chunks = cfg.outstage // cs
 
         def geom_of(sub):
             mask = (sub["code"] >= 0).astype(compute_dtype)[:, None, None, :]
@@ -281,7 +307,7 @@ def make_frame_grads_sb(cfg: ModelConfig, level_slices,
             def fchunk_fn(p, sub, base):
                 return sb_fused_chunk_bits(
                     p, cfg, geom_of(sub), unpack_bits(sub["occ"]), base,
-                    stage_chunk, sub_slices,
+                    cs, sub_slices,
                 )
 
             fchunk_vg = jax.value_and_grad(
@@ -303,7 +329,7 @@ def make_frame_grads_sb(cfg: ModelConfig, level_slices,
                 )
                 (bits, gp), _ = jax.lax.scan(
                     body, init,
-                    jnp.arange(n_chunks, dtype=jnp.int32) * stage_chunk,
+                    jnp.arange(n_chunks, dtype=jnp.int32) * cs,
                 )
                 return bits, gp
 
@@ -317,7 +343,7 @@ def make_frame_grads_sb(cfg: ModelConfig, level_slices,
         def chunk_fn(p, xg, sub, base):
             return sb_chunk_bits(
                 p, cfg, geom_of(sub), unpack_bits(sub["occ"]), base,
-                stage_chunk, xg,
+                cs, xg,
             )
 
         chunk_vg = jax.value_and_grad(
@@ -343,7 +369,7 @@ def make_frame_grads_sb(cfg: ModelConfig, level_slices,
             )
             (bits, gp, gx), _ = jax.lax.scan(
                 body, init,
-                jnp.arange(n_chunks, dtype=jnp.int32) * stage_chunk,
+                jnp.arange(n_chunks, dtype=jnp.int32) * cs,
             )
             grads = jax.tree_util.tree_map(jnp.add, gp, bi_vjp(gx)[0])
             return bits, grads
@@ -351,7 +377,7 @@ def make_frame_grads_sb(cfg: ModelConfig, level_slices,
         return fn
 
     group_fns = [
-        (ga, gb, make_group_fn(sub_slices))
+        (ga, gb, make_group_fn(sub_slices, pick_cs(gb - ga)))
         for (ga, gb, sub_slices) in groups
     ]
 
