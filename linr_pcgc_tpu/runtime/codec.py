@@ -287,7 +287,7 @@ def encode_frame(params, cfg: ModelConfig, pyr: FramePyramid) -> dict:
 
 def decode_gop_streams(
     params, cfg: ModelConfig, frame_blobs: list, lows: list[np.ndarray],
-    probs_mode=None, fused_budget_gb=None,
+    probs_mode=None, fused_budget_gb=None, fused_cs_cap=None,
 ):
     """Decode all frames of a GOP coarse-to-fine, stage-synchronous.
 
@@ -300,14 +300,14 @@ def decode_gop_streams(
 
         return decode_gop_streams_rans(
             params, cfg, frame_blobs, lows, probs_mode=probs_mode,
-            fused_budget_gb=fused_budget_gb,
+            fused_budget_gb=fused_budget_gb, fused_cs_cap=fused_cs_cap,
         )
     if _use_sb(cfg):
         from .dev_codec import decode_gop_streams_dev
 
         return decode_gop_streams_dev(
             params, cfg, frame_blobs, lows, probs_mode=probs_mode,
-            fused_budget_gb=fused_budget_gb,
+            fused_budget_gb=fused_budget_gb, fused_cs_cap=fused_cs_cap,
         )
     return decode_gop_streams_gather(params, cfg, frame_blobs, lows)
 
@@ -525,7 +525,7 @@ def _numerics_info() -> dict:
     both sides in the reference).  The probs mode is ADOPTED by the
     decoder rather than enforced (decode_gop passes it down)."""
     from ..ops.superbricks import _conv_kernel_mode
-    from .dev_codec import CDT, _fused_budget_gb, _probs_mode
+    from .dev_codec import CDT, _fused_budget_gb, _fused_cs_cap, _probs_mode
 
     info = {
         "dtype": "f32" if CDT == jnp.float32 else "bf16",
@@ -534,9 +534,11 @@ def _numerics_info() -> dict:
     }
     if info["probs"] == "fused":
         # the per-level stage-batch width cs derives from (shapes, this
-        # budget); the decoder adopts the encoder's value so both sides
-        # pick identical executables even if their env configs differ
+        # budget, this latency cap); the decoder adopts the encoder's
+        # values so both sides pick identical executables even if their
+        # env configs differ
         info["fused_budget_gb"] = _fused_budget_gb()
+        info["fused_cs_cap"] = _fused_cs_cap()
     return info
 
 
@@ -574,18 +576,21 @@ def decode_gop(
     enc_num = side_info.get("numerics")
     probs_mode = None
     fused_budget_gb = None
+    fused_cs_cap = None
     if enc_num is not None and _use_sb(cfg):
         enc_num = dict(enc_num)
         # the probs executable shape travels with the bitstream and the
         # decoder simply adopts it (pre-round-4 side_info carries no
-        # "probs" key: those streams were stage-serial), as does the
-        # fused-cs HBM budget it was derived under
+        # "probs" key: those streams were stage-serial), as do the
+        # fused-cs HBM budget and latency cap it was derived under
+        # (pre-cap fused streams ran uncapped: cap=8)
         probs_mode = enc_num.pop("probs", "stage")
         fused_budget_gb = enc_num.pop("fused_budget_gb", None)
+        fused_cs_cap = enc_num.pop("fused_cs_cap", 8)
         dec_num = {
             k: v
             for k, v in _numerics_info().items()
-            if k not in ("probs", "fused_budget_gb")
+            if k not in ("probs", "fused_budget_gb", "fused_cs_cap")
         }
         if dec_num != enc_num:
             raise ValueError(
@@ -632,7 +637,7 @@ def decode_gop(
 
     coords_list = decode_gop_streams(
         params, cfg, frame_blobs, lows, probs_mode=probs_mode,
-        fused_budget_gb=fused_budget_gb,
+        fused_budget_gb=fused_budget_gb, fused_cs_cap=fused_cs_cap,
     )
     expect = side_info.get("frame_points")
     if expect is not None:

@@ -89,6 +89,39 @@ class _prof:
             PROF[self.key] += time.time() - self.t0
 
 
+# LINR_CODEC_PROF_SYNC=1: additionally force a device sync after each
+# decode-loop executable and attribute the wall time per phase
+# (dec_probs / dec_rans).  PERTURBS the measurement — the async chain
+# serializes and every sync pays the tunnel's ~30 ms dispatch latency —
+# so this is an attribution tool, not a headline-number mode.
+_PROF_SYNC = os.environ.get("LINR_CODEC_PROF_SYNC") == "1"
+
+
+def _sync(x):
+    """Block until device value ``x`` is computed (host-read of one
+    element — block_until_ready does not block through the axon tunnel)."""
+    np.asarray(jnp.ravel(x)[:1])
+
+
+class _prof_sync:
+    """Phase timer that forces a device sync at exit (on ``arr``)."""
+
+    def __init__(self, key):
+        self.key = key
+        self.arr = None
+
+    def __enter__(self):
+        if _PROF_SYNC:
+            self.t0 = time.time()
+        return self
+
+    def __exit__(self, *a):
+        if _PROF_SYNC:
+            if self.arr is not None:
+                _sync(self.arr)
+            PROF[self.key] += time.time() - self.t0
+
+
 def _frame_chunks(f: int):
     return [
         list(range(a, min(a + CODEC_FRAME_CHUNK, f)))
@@ -291,14 +324,34 @@ def _fused_budget_gb() -> float:
     return float(os.environ.get("LINR_FUSED_BUDGET_GB", "8"))
 
 
-def _fused_cs(bb: int, cfg: ModelConfig, budget_gb: float) -> int:
-    """Largest stage-batch width cs (divisor of outstage) whose fused
-    executable fits the HBM budget at ``bb`` bricks."""
+def _fused_cs_cap() -> int:
+    """Latency cap on the fused stage-batch width cs, independent of the
+    HBM cap: the DECODER re-dispatches the cs-wide executable at every
+    stage (autoregressive: stage j's occupancy context only exists after
+    stage j-1 decodes) and keeps ONE row, so its per-level probability
+    cost is 8 x (halo + cs x stage-work) — monotonically worse in cs —
+    while the encoder's is (8/cs) x (halo + cs x stage-work).  The halo
+    gather is row-rate bound (cost independent of cs), and on-chip
+    chunk costs at the 81920-brick level (docs/SP_MODEL_r04.json:
+    186/246/408/812 ms for cs=1/2/4/8) make cs=2 the joint enc+dec
+    optimum: enc pays ~2%, dec probs drop ~2.4x vs cs=8.  Travels in
+    side_info["numerics"]["fused_cs_cap"]; pre-cap streams decode with
+    cap=8 (uncapped)."""
+    return int(os.environ.get("LINR_FUSED_CS_CAP", "2"))
+
+
+def _fused_cs(bb: int, cfg: ModelConfig, budget_gb: float,
+              cs_cap: int | None = None) -> int:
+    """Largest stage-batch width cs (divisor of outstage) within the
+    latency cap whose fused executable fits the HBM budget at ``bb``
+    bricks."""
     per = _FUSED_TEMP_BYTES_PER_BRICK_STAGE * max(cfg.ch, 8) / 8.0
     for cs in sorted(
         (d for d in range(1, cfg.outstage + 1) if cfg.outstage % d == 0),
         reverse=True,
     ):
+        if cs_cap is not None and cs > cs_cap:
+            continue
         if bb * cs * per <= budget_gb * 1e9:
             return cs
     return 1
@@ -630,7 +683,8 @@ def _resize_coords(coords, keys, bv: int):
 
 
 def encode_chunk_probs_dev(params, cfg: ModelConfig, pyrs, keep_device=False,
-                           probs_mode=None, fused_budget_gb=None):
+                           probs_mode=None, fused_budget_gb=None,
+                           fused_cs_cap=None):
     """Device-chain encode of one frame chunk: per level, the per-stage
     probability and ground-truth bit arrays (the decoder's exact
     executables; all 8 stage dispatches pipeline on device since the
@@ -659,6 +713,8 @@ def encode_chunk_probs_dev(params, cfg: ModelConfig, pyrs, keep_device=False,
     mode = probs_mode or _probs_mode()
     if fused_budget_gb is None:
         fused_budget_gb = _fused_budget_gb()
+    if fused_cs_cap is None:
+        fused_cs_cap = _fused_cs_cap()
     s_num = pyrs[0].scale_num
     shapes = _LevelShapes(
         s_num, [p.low_coords.astype(np.int32) for p in pyrs]
@@ -709,7 +765,9 @@ def encode_chunk_probs_dev(params, cfg: ModelConfig, pyrs, keep_device=False,
             # the 8 serial _stage_step dispatches collapse to cs-wide
             # passes — cs x fewer gather-row-rate-bound halo exchanges,
             # with cs capped by the shared HBM model (_fused_cs)
-            cs = _fused_cs(geo["code"].shape[0], cfg, fused_budget_gb)
+            cs = _fused_cs(
+                geo["code"].shape[0], cfg, fused_budget_gb, fused_cs_cap
+            )
             occ_buf, vox_occ = _enc_occ_buffers(
                 jnp.stack(cols[: cfg.outstage - 1]),
                 geo["vox_brick"], geo["vox_slot"], occ_buf, vox_occ,
@@ -867,7 +925,8 @@ def encode_gop_streams_dev(params, cfg: ModelConfig, pyramids):
 
 
 def decode_gop_streams_rans(params, cfg: ModelConfig, wire, lows,
-                            probs_mode=None, fused_budget_gb=None):
+                            probs_mode=None, fused_budget_gb=None,
+                            fused_cs_cap=None):
     """Decode from per-chunk rans blobs: the entropy decode runs ON
     device, chained into the stage loop — per level the host does ONE
     download (the packed decoded bits, for shape derivation and the
@@ -875,13 +934,13 @@ def decode_gop_streams_rans(params, cfg: ModelConfig, wire, lows,
     return decode_gop_streams_dev(
         params, cfg, None, lows, rans_chunks=wire["rans"],
         s_num=wire.get("s_num") or cfg.scale_num, probs_mode=probs_mode,
-        fused_budget_gb=fused_budget_gb,
+        fused_budget_gb=fused_budget_gb, fused_cs_cap=fused_cs_cap,
     )
 
 
 def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
                            rans_chunks=None, s_num=None, probs_mode=None,
-                           fused_budget_gb=None):
+                           fused_budget_gb=None, fused_cs_cap=None):
     """Decode all frames coarse-to-fine with the device-resident chain.
 
     Per level: 8 serial {device stage-step -> host AC -> packed bits up}
@@ -898,6 +957,8 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
     mode = probs_mode or _probs_mode()
     if fused_budget_gb is None:
         fused_budget_gb = _fused_budget_gb()
+    if fused_cs_cap is None:
+        fused_cs_cap = _fused_cs_cap()
     if s_num is None:
         s_num = len(frame_blobs[0])
     out_coords = [None] * f_total
@@ -944,10 +1005,14 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
                     params, cfg, geo["code"], geo["nbr27"], jnp.int32(s)
                 )
                 occ_buf, vox_occ = _zero_buffers(f, cap, bv)
+                if _PROF_SYNC:
+                    _sync(xg)
             prev = jnp.zeros((f, bv // 8), jnp.uint8)
             total = sum(counts)
             offs_f = np.concatenate([[0], np.cumsum(counts)])
-            cs = _fused_cs(geo["code"].shape[0], cfg, fused_budget_gb)
+            cs = _fused_cs(
+                geo["code"].shape[0], cfg, fused_budget_gb, fused_cs_cap
+            )
             if rans_chunks is not None:
                 # device entropy decode: zero host round trips inside the
                 # stage loop; ONE packed-bits download per level
@@ -956,18 +1021,22 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
                     with _prof("dec_dispatch"):
                         if mode == "fused":
                             b0 = (stage // cs) * cs
-                            pr = _fused_probs(
-                                params, cfg, occ_buf, geo["code"],
-                                geo["nbr27"], xg, geo["sel"],
-                                jnp.int32(b0), cs,
-                            )[stage - b0]
-                            (r_st, r_cur, occ_buf, vox_occ, prev,
-                             bits_acc) = _rans_dec_stage_scatter(
-                                r_st, r_cur, r_stream, pr, geo["vox_fr"],
-                                geo["vox_j"], jnp.int32(total), bits_acc,
-                                occ_buf, vox_occ, jnp.int32(stage),
-                                geo["vox_brick"], geo["vox_slot"],
-                            )
+                            with _prof_sync(f"dec_probs_s{s}") as ps:
+                                pr = _fused_probs(
+                                    params, cfg, occ_buf, geo["code"],
+                                    geo["nbr27"], xg, geo["sel"],
+                                    jnp.int32(b0), cs,
+                                )[stage - b0]
+                                ps.arr = pr
+                            with _prof_sync(f"dec_rans_s{s}") as rs:
+                                (r_st, r_cur, occ_buf, vox_occ, prev,
+                                 bits_acc) = _rans_dec_stage_scatter(
+                                    r_st, r_cur, r_stream, pr, geo["vox_fr"],
+                                    geo["vox_j"], jnp.int32(total), bits_acc,
+                                    occ_buf, vox_occ, jnp.int32(stage),
+                                    geo["vox_brick"], geo["vox_slot"],
+                                )
+                                rs.arr = prev
                         else:
                             occ_buf, vox_occ, pr = _stage_step(
                                 params, cfg, occ_buf, vox_occ, geo["code"],

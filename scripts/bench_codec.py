@@ -30,6 +30,9 @@ def main():
                     help="also write the JSON record here (committed "
                          "artifact, e.g. docs/BENCH_CODEC_r04.json) so "
                          "codec perf is driver-visible, not log-ware")
+    ap.add_argument("--ac_compare", action="store_true",
+                    help="also encode once over the AC wire and record "
+                         "both wire sizes (rANS-vs-AC at bench scale)")
     args = ap.parse_args()
 
     import jax
@@ -90,6 +93,27 @@ def main():
             else int(v / (args.runs * args.frames))
             for k, v in sorted(PROF.items())
         }
+    def wire_bytes(bl):
+        if isinstance(bl, dict) and "rans" in bl:
+            return sum(len(b) for b in bl["rans"])
+        return sum(len(b) for per_frame in bl for b in per_frame)
+
+    rec["wire_bytes"] = wire_bytes(blobs)
+    if args.ac_compare and os.environ.get("LINR_CODEC_ENTROPY") != "ac":
+        # same probabilities, different entropy wire: the 16-bit staircase
+        # rate parity is tested (tests/test_rans.py); this records the
+        # HEADER overhead difference at bench scale (rANS pays per-lane
+        # state+len, AC pays per-(frame,scale,stage) stream framing)
+        os.environ["LINR_CODEC_ENTROPY"] = "ac"
+        try:
+            ac_blobs, _ = encode_gop_streams(params, cfg, pyrs)
+            rec["wire_bytes_ac"] = wire_bytes(ac_blobs)
+            rec["rans_vs_ac_pct"] = round(
+                100.0 * (rec["wire_bytes"] / rec["wire_bytes_ac"] - 1.0), 2
+            )
+        finally:
+            del os.environ["LINR_CODEC_ENTROPY"]
+
     from linr_pcgc_tpu.runtime.dev_codec import _probs_mode
 
     rec["probs_mode"] = _probs_mode()

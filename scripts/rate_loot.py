@@ -178,6 +178,18 @@ def main():
 
     # summary: warm-start encode-time reduction at matched rate
     runs = report["runs"]
+    # per-arm final rate decomposition — always emitted, so single-arm
+    # protocols (e.g. the GOP>=16 model_bpp-amortization arm, which runs
+    # gop0_cold alone) still produce a summary block
+    s = {}
+    for name, r in sorted(runs.items()):
+        traj = r.get("trajectory") if isinstance(r, dict) else None
+        fin = [e for e in (traj or []) if "bpp_all" in e]
+        if fin:
+            s[f"{name}_final"] = {
+                k: fin[-1][k]
+                for k in ("epoch", "bpp_all", "point_bpp", "model_bpp")
+            }
     try:
         warm_traj = runs["gop1_warm_bf16"]["trajectory"]
         cold_traj = runs["gop1_cold_bf16"]["trajectory"]
@@ -189,7 +201,7 @@ def main():
             None,
         )
         cold_bpp = {e["epoch"]: e["bpp_all"] for e in cold_traj if "bpp_all" in e}
-        s = {
+        s |= {
             "gop1_warm_epoch0_loss": warm_traj[0]["loss"],
             "gop0_converged_loss": runs["gop0_cold_bf16"]["trajectory"][-1]["loss"],
             "gop1_warm_final_bpp": warm_final,
@@ -224,7 +236,9 @@ def main():
             )
         report["summary"] = s
     except Exception as e:
-        report["summary"] = {"error": repr(e)}
+        # the cross-arm comparisons need the gop1 arms; keep whatever
+        # per-arm summaries were computable
+        report["summary"] = dict(s, cross_arm_error=repr(e))
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:

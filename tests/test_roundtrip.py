@@ -510,6 +510,42 @@ def test_fused_probs_cs_capped_roundtrip(tmp_path, monkeypatch):
     np.testing.assert_array_equal(decoded[0], np.unique(frames[0], axis=0))
 
 
+def test_fused_cs_latency_cap_roundtrip(tmp_path, monkeypatch):
+    """The fused width is ALSO capped for latency (dev_codec._fused_cs_cap):
+    the decoder re-dispatches the cs-wide executable per stage and keeps
+    one row, so small cs is decode-optimal while the encoder prefers
+    large cs; the shared compromise travels in
+    side_info["numerics"]["fused_cs_cap"] and the decoder adopts it even
+    when its env default differs (differently-shaped executables are not
+    bit-interchangeable)."""
+    import json
+
+    from linr_pcgc_tpu.runtime.codec import encode_gop, decode_gop
+    from linr_pcgc_tpu.runtime.dev_codec import _fused_cs
+    from linr_pcgc_tpu.runtime.overfit import adam_init, save_checkpoint
+
+    cfg3 = ModelConfig(scale_num=3)
+    assert _fused_cs(1000, cfg3, 8.0, 2) == 2
+    assert _fused_cs(1000, cfg3, 8.0, 1) == 1
+    assert _fused_cs(1000, cfg3, 8.0, None) == 8  # uncapped (pre-cap wire)
+
+    monkeypatch.setenv("LINR_CODEC_PROBS", "fused")
+    monkeypatch.setenv("LINR_FUSED_CS_CAP", "1")
+    ds, frames = small_dataset(1, n_pts=2200)
+    cfg = ModelConfig(scale_num=ds.scale_num)
+    params = init_params(jax.random.PRNGKey(11), cfg)
+    model_path = str(tmp_path / "model.npz")
+    save_checkpoint(model_path, params, adam_init(params), 0.01, 0, 1.0, 8)
+    enc_dir = str(tmp_path / "enc")
+    encode_gop(model_path, [ds[0]], enc_dir, cfg)
+    with open(tmp_path / "enc" / "side_info.json") as f:
+        assert json.load(f)["numerics"]["fused_cs_cap"] == 1
+
+    monkeypatch.delenv("LINR_FUSED_CS_CAP")  # decoder env default (2)
+    decoded = decode_gop(enc_dir, None, cfg=None)
+    np.testing.assert_array_equal(decoded[0], np.unique(frames[0], axis=0))
+
+
 def test_stage_probs_roundtrip(monkeypatch):
     """probs_mode="stage" (the pre-round-4 wire, 8 x the cs=1
     `_stage_step` executable on both sides) stays lossless end to end on
