@@ -906,6 +906,31 @@ b4_convsm_bm.defvjp(_b4_convsm_bm_fwd, _b4_convsm_bm_bwd)
 # occupancy bits and per-voxel f16 probabilities cross the link.
 
 
+@functools.lru_cache(maxsize=None)
+def _slot_shift_tables(side: int, off: tuple):
+    """Static tables for reading a face-neighbor cell's occupancy in the
+    flat (Bb, slots) layout (slot = x*s^2 + y*s + z): for output slot s,
+    ``perm[s]`` is the neighbor cell's slot index (coordinates wrapped
+    mod side — valid for BOTH the own-brick and the cross-brick case),
+    and ``crosses[s]`` says whether the neighbor cell lies in the
+    adjacent brick.  No spatial minor dims are ever materialized (the
+    tile-padding law, docs/DESIGN.md)."""
+    shift = side.bit_length() - 1
+    m = side - 1
+    slots = side**3
+    perm = np.zeros((slots,), np.int32)
+    crosses = np.zeros((slots,), bool)
+    dx, dy, dz = off
+    for s in range(slots):
+        x, y, z = s >> (2 * shift), (s >> shift) & m, s & m
+        nx, ny, nz = x + dx, y + dy, z + dz
+        crosses[s] = not (0 <= nx < side and 0 <= ny < side and 0 <= nz < side)
+        perm[s] = ((nx & m) << (2 * shift)) | ((ny & m) << shift) | (nz & m)
+    # numpy on purpose: jnp constants created here would leak tracers out
+    # of whatever jit first populated the cache
+    return perm, crosses
+
+
 def dev_brickify(coords, keys, scale_idx, brick_cap: int, side: int = 4):
     """Brickify one frame's level on device (jit-friendly, static shapes).
 
@@ -927,16 +952,34 @@ def dev_brickify(coords, keys, scale_idx, brick_cap: int, side: int = 4):
 
     Integer-exact equivalent of build_superbrick_level (same slot and
     key conventions); proven against it in tests/test_superbricks.py.
+
+    Cost discipline (round-4 sync attribution: this function was the
+    codec's single hottest non-conv phase, 0.66 s/frame at the finest
+    level, all of it sort-based key search).  The brick key is NOT a
+    monotone map of the canonical voxel key (lex order mixes sub-brick
+    bits of a major component with brick bits of a minor one: voxel
+    (0,5,0) < (1,0,0) but brick (0,1,0) > (0,0,0)), so ONE sort of the
+    brick keys is unavoidable — but it carries the voxel index as
+    payload, so the voxel->brick index is an inverse-permutation
+    SCATTER of the running rank, not a searchsorted.  The 7-neighbor
+    feature code is read from the brick occupancy grid via 6
+    neighbor-brick ROW gathers + static column permutations
+    (_slot_shift_tables) instead of a sorted 8 x Nv key search — that
+    search was the dominant term.  The only remaining key search is
+    the 27 x brick_cap neighbor map.
     """
     from .coords import KEY_PAD, coord_key, lookup
-    from .octree import neighbor_feature_code
+    from .octree import NEIGHBOR_OFFSETS_7
 
     shift = side.bit_length() - 1
     m = side - 1
     slots = side**3
+    nv = coords.shape[0]
     valid = keys != KEY_PAD
     bkey_all = coord_key(coords >> shift, valid)  # (Nv,)
-    sbk = jnp.sort(bkey_all)
+    sbk, order = jax.lax.sort(
+        (bkey_all, jnp.arange(nv, dtype=jnp.int32)), num_keys=1
+    )
     prev = jnp.concatenate([jnp.full((1,), -1, sbk.dtype), sbk[:-1]])
     is_first = (sbk != KEY_PAD) & (sbk != prev)
     n_bricks = jnp.sum(is_first.astype(jnp.int32))
@@ -946,22 +989,17 @@ def dev_brickify(coords, keys, scale_idx, brick_cap: int, side: int = 4):
         sbk, mode="drop"
     )
 
-    vox_brick = lookup(bkeys, bkey_all)  # -1 on pads
+    vox_brick = (
+        jnp.zeros((nv,), jnp.int32)
+        .at[order]
+        .set(jnp.where(sbk != KEY_PAD, rank, -1).astype(jnp.int32))
+    )
     slot = (
         ((coords[:, 0] & m) << (2 * shift))
         | ((coords[:, 1] & m) << shift)
         | (coords[:, 2] & m)
     ).astype(jnp.int32)
     slot = jnp.where(valid, slot, 0)
-
-    feat = neighbor_feature_code(coords, keys) & 127
-    flat = jnp.where(valid, vox_brick * slots + slot, brick_cap * slots)
-    code = (
-        jnp.full((brick_cap * slots,), -1, jnp.int32)
-        .at[flat]
-        .set((jnp.int32(scale_idx) * 128 + feat).astype(jnp.int32), mode="drop")
-        .reshape(brick_cap, slots)
-    )
 
     # neighbor keys by direct key arithmetic (same borrow argument as the
     # host build_superbrick_level: borders produce keys of nonexistent
@@ -973,6 +1011,33 @@ def dev_brickify(coords, keys, scale_idx, brick_cap: int, side: int = 4):
         (bkeys != KEY_PAD)[:, None], bkeys[:, None] + doff[None, :], KEY_PAD
     )
     nbr27 = lookup(bkeys, qk)
+
+    # brick-grid occupancy, then feat bits by shifted reads of it
+    flat = jnp.where(valid, vox_brick * slots + slot, brick_cap * slots)
+    occ_g = (
+        jnp.zeros((brick_cap * slots,), jnp.int32)
+        .at[flat]
+        .set(1, mode="drop")
+        .reshape(brick_cap, slots)
+    )
+    occ_pad = jnp.concatenate(
+        [occ_g, jnp.zeros((1, slots), jnp.int32)], axis=0
+    )
+    feat_grid = occ_g  # bit 0 = self (always set on occupied slots)
+    for k in range(1, 7):
+        off = tuple(int(v) for v in NEIGHBOR_OFFSETS_7[k])
+        nb = nbr27[:, _DIRS.index(off)]
+        nbg = occ_pad[jnp.where(nb >= 0, nb, brick_cap)]  # (cap, slots)
+        perm, crosses = _slot_shift_tables(side, off)
+        src = jnp.where(
+            jnp.asarray(crosses)[None, :],
+            nbg[:, jnp.asarray(perm)],
+            occ_g[:, jnp.asarray(perm)],
+        )
+        feat_grid = feat_grid + (src << k)
+    code = jnp.where(
+        occ_g > 0, jnp.int32(scale_idx) * 128 + feat_grid, jnp.int32(-1)
+    )
     return dict(
         bkeys=bkeys,
         n_bricks=n_bricks,

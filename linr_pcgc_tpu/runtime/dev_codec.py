@@ -476,6 +476,7 @@ from ..ops.rans import (  # noqa: E402
     rans_encode_segment,
     rans_initial_states,
     pack_rans_blob,
+    pack_rans_blob_flat,
     unpack_rans_blob,
 )
 
@@ -773,12 +774,14 @@ def encode_chunk_probs_dev(params, cfg: ModelConfig, pyrs, keep_device=False,
                 geo["vox_brick"], geo["vox_slot"], occ_buf, vox_occ,
             )
             probs_dev = []
-            for b0 in range(0, cfg.outstage, cs):
-                prs = _fused_probs(
-                    params, cfg, occ_buf, geo["code"], geo["nbr27"], xg,
-                    geo["sel"], jnp.int32(b0), cs,
-                )  # (cs, tv) f16, device
-                probs_dev.extend(prs[i] for i in range(cs))
+            with _prof_sync(f"enc_probs_s{s}") as ps:
+                for b0 in range(0, cfg.outstage, cs):
+                    prs = _fused_probs(
+                        params, cfg, occ_buf, geo["code"], geo["nbr27"], xg,
+                        geo["sel"], jnp.int32(b0), cs,
+                    )  # (cs, tv) f16, device
+                    probs_dev.extend(prs[i] for i in range(cs))
+                ps.arr = probs_dev[-1]
         else:
             probs_dev = []
             prev = jnp.zeros((f, bv // 8), jnp.uint8)
@@ -850,13 +853,15 @@ def encode_gop_streams_rans(params, cfg: ModelConfig, pyramids):
             reversed(pending)
         ):
             seg_b, seg_m = [], []
-            for stage in reversed(range(cfg.outstage)):
-                states, byts, mask = _rans_enc_seg(
-                    states, probs_dev[stage], cols[stage],
-                    vox_fr, vox_j, jnp.int32(total),
-                )
-                seg_b.append(byts)
-                seg_m.append(mask)
+            with _prof_sync(f"enc_rans_s{s}") as rs:
+                for stage in reversed(range(cfg.outstage)):
+                    states, byts, mask = _rans_enc_seg(
+                        states, probs_dev[stage], cols[stage],
+                        vox_fr, vox_j, jnp.int32(total),
+                    )
+                    seg_b.append(byts)
+                    seg_m.append(mask)
+                rs.arr = states
             # decode order within a level = stage ascending
             emis[s] = (
                 jnp.concatenate(seg_b[::-1], axis=0),
@@ -878,14 +883,27 @@ def encode_gop_streams_rans(params, cfg: ModelConfig, pyramids):
                 )
                 outs.append(np.asarray(out))
                 PROF["enc_bytes_down"] += out.size
-        lane_streams = [
-            b"".join(
-                outs[k][l, : int(lens_h[k][l])].tobytes()
-                for k in range(len(level_order))
-            )
-            for l in range(LANES)
-        ]
-        blob = pack_rans_blob(np.asarray(states), lane_streams)
+            # lane-major ragged assembly, fully vectorized (the per-
+            # (level, lane) .tobytes() join was 0.27 s/frame of host
+            # time): payload position of level k, lane l, byte j is
+            # lane_start[l] + sum(lens[:k, l]) + j
+            lens_np = lens_h[: len(level_order)].astype(np.int64)
+            lane_tot = lens_np.sum(axis=0)  # (LANES,)
+            lane_start = np.concatenate([[0], np.cumsum(lane_tot)[:-1]])
+            payload = np.empty(int(lane_tot.sum()), np.uint8)
+            pos = lane_start.copy()
+            for k, out in enumerate(outs):
+                ln = lens_np[k]  # (LANES,)
+                tot = int(ln.sum())
+                if tot:
+                    seg0 = np.repeat(pos, ln)
+                    within = np.arange(tot, dtype=np.int64) - np.repeat(
+                        np.cumsum(ln) - ln, ln
+                    )
+                    cols = np.arange(out.shape[1], dtype=np.int64)
+                    payload[seg0 + within] = out[cols[None, :] < ln[:, None]]
+                pos += ln
+        blob = pack_rans_blob_flat(np.asarray(states), payload, lane_tot)
         chunk_blobs.append(blob)
         total_bits += len(blob) * 8
     return {"rans": chunk_blobs, "s_num": s_num}, total_bits
@@ -997,16 +1015,18 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
             coords, keys = _resize_coords(coords, keys, bv)
             counts = shapes.n_vox[s]
             with _prof("dec_geom"):
-                geo = _brickify_level(
-                    coords, keys, jnp.asarray(counts, jnp.int32),
-                    jnp.int32(s), cap, tv,
-                )
-                xg = _dev_ctx(
-                    params, cfg, geo["code"], geo["nbr27"], jnp.int32(s)
-                )
+                with _prof_sync(f"dec_brickify_s{s}") as bs:
+                    geo = _brickify_level(
+                        coords, keys, jnp.asarray(counts, jnp.int32),
+                        jnp.int32(s), cap, tv,
+                    )
+                    bs.arr = geo["nbr27"]
+                with _prof_sync(f"dec_xg_s{s}") as xs:
+                    xg = _dev_ctx(
+                        params, cfg, geo["code"], geo["nbr27"], jnp.int32(s)
+                    )
+                    xs.arr = xg
                 occ_buf, vox_occ = _zero_buffers(f, cap, bv)
-                if _PROF_SYNC:
-                    _sync(xg)
             prev = jnp.zeros((f, bv // 8), jnp.uint8)
             total = sum(counts)
             offs_f = np.concatenate([[0], np.cumsum(counts)])

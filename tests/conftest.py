@@ -29,7 +29,19 @@ jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: the test box has ONE cpu core, and the
 # trainer/codec graphs take tens of seconds each to compile — cache them
 # across test runs (jax supports the persistent cache on CPU).
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache_cpu")
+# KNOWN FAILURE MODE: a truncated/corrupt cache entry (e.g. a python
+# process killed mid-write) SEGFAULTS jax's executable deserialization
+# at cache READ time (jax_src/compilation_cache.get_executable_and_time;
+# same class as commit 33ede30).  If the suite dies with "Fatal Python
+# error: Segmentation fault" under compilation_cache.py, wipe
+# .jax_cache_cpu and rerun cold (~60 min).
+# LINR_TEST_JAX_CACHE: point a SECOND concurrent pytest at its own
+# cache dir — two processes compiling into one dir is the likeliest
+# source of the truncated entries above.
+_cache_dir = os.environ.get(
+    "LINR_TEST_JAX_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache_cpu"),
+)
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
