@@ -125,6 +125,20 @@ def _words_table(stream):
     return words, w
 
 
+# A words table COMPUTED inside the decode executable gets RE-STAGED
+# into VMEM on every scan iteration of the symbol loop — decode cost
+# then tracks the STREAM SIZE, not the symbol count (measured, level-0
+# segment, same content: 144 ms against an 8 MB stream argument vs
+# 1338 ms against 32 MB ~ table bytes x steps / ~350 GB/s; an
+# optimization_barrier does NOT help — it is staging, not rebuild).
+# Passing the PREBUILT table as an executable ARGUMENT keeps it in HBM
+# and the per-step gather is a true dynamic gather: the same segment
+# decodes in 30 ms at EITHER size (scripts/prof_dev_codec.py).  The
+# production codec therefore builds the table ONCE per frame chunk with
+# this executable and threads it through every per-stage decode.
+build_words_table = jax.jit(lambda stream: _words_table(stream)[0])
+
+
 def _dec_sym(x, p, v, word, boff):
     """One rANS bit decode + renorm off a prefetched 4-byte ``word``;
     ``boff`` (u32) is the symbol's first byte's offset in the word.
@@ -145,51 +159,100 @@ def _dec_sym(x, p, v, word, boff):
     return x, n0 + n1, bit
 
 
-@jax.jit
-def rans_decode_segment(states, cursors, stream, probs, valid):
-    """Decode one segment's bits on device.
+# Per-lane read-ahead window, in u32 words.  The per-step u32 gather's
+# cost scales with the GATHERED OPERAND'S SIZE on TPU (measured: a
+# level-0 segment decodes in 144 ms against an 8 MB stream argument vs
+# 1338 ms against 32 MB — same content; scripts/prof_dev_codec.py), so
+# reading the big words table every step is the decode's real cost at
+# production stream sizes.  Each scan step consumes <= 4 bytes per lane
+# (2 symbols x <= 2 renorm bytes); a (LANES, W) window refilled by ONE
+# big-table gather serves W-1 steps of small (LANES, W)-operand reads —
+# W-1 = 15x fewer big gathers, wire-identical.
+DEC_WINDOW_W = 16
 
-    states (LANES,) u32, cursors (LANES,) i32 absolute byte positions
-    into ``stream`` (B,) u8 (zero-padded), probs (N,) float P(bit=1) with
-    N % LANES == 0, valid (N,) bool.  Returns (states', cursors',
-    bits (N,) u8) — pad symbols decode to 0.
 
-    Wire-identical to (and bit-cross-tested against) the numpy twin:
-    only the read mechanics differ — TWO symbols per scan step off ONE
-    single-index u32 gather (_words_table), the second symbol's renorm
-    bytes sliced from the same word by dynamic shift.
-    """
+def _decode_core(states, cursors, words, w, probs, valid):
+    """Shared decode body over a (4w,) u32 words table (see
+    _words_table / build_words_table).  TWO symbols per scan step off
+    ONE u32 window read, with the table gathered into a per-lane
+    (W-word) read-ahead window once per W-1 steps (DEC_WINDOW_W; the
+    per-step read then touches a 64 KB operand instead of the whole
+    table).  NO symbol padding is introduced anywhere: pad symbols are
+    REAL coded symbols (f1 = 1), so the windowed blocks cover
+    floor(pairs / (W-1)) blocks and the leftover pairs run the per-step
+    big-table path."""
     n = probs.shape[0]
     steps = n // LANES
     pairs, tail = steps // 2, steps % 2
-    words, w = _words_table(stream)
+    W = DEC_WINDOW_W
+    R = W - 1
 
     def window(cur):
         idx = (cur & 3) * w + (cur >> 2)
         return jnp.take(words, idx, mode="clip")
 
-    def body(carry, inp):
-        x, cur = carry
-        p, v = inp
-        word = window(cur)
+    def step_pair(x, rel_word, p, v):
+        """One step-pair off a 4-byte window ``rel_word`` at the pair's
+        first byte; returns (x', bytes_used, (2, LANES) bits)."""
         x, used0, bit0 = _dec_sym(
-            x, p[0], v[0], word, jnp.zeros_like(cur, U32)
+            x, p[0], v[0], rel_word, jnp.zeros_like(x, U32)
         )
-        x, used1, bit1 = _dec_sym(x, p[1], v[1], word, used0)
-        cur = cur + (used0 + used1).astype(jnp.int32)
+        x, used1, bit1 = _dec_sym(x, p[1], v[1], rel_word, used0)
         out = jnp.stack(
             [jnp.where(v[0], bit0, False).astype(U8),
              jnp.where(v[1], bit1, False).astype(U8)], 0)
-        return (x, cur), out
+        return x, used0 + used1, out
+
+    def body(carry, inp):
+        x, cur = carry
+        p, v = inp
+        x, used, out = step_pair(x, window(cur), p, v)
+        return (x, cur + used.astype(jnp.int32)), out
 
     x, cur = states, cursors
-    if pairs:
-        pr = probs[: 2 * pairs * LANES].reshape(pairs, 2, LANES)
-        vd = valid[: 2 * pairs * LANES].reshape(pairs, 2, LANES)
-        (x, cur), bits = jax.lax.scan(body, (x, cur), (pr, vd))
-        bits = bits.reshape(-1)
-    else:
-        bits = jnp.zeros((0,), U8)
+    blocks = pairs // R
+    rem = pairs - blocks * R
+    bits_parts = []
+    if blocks:
+        def blk_body(carry, inp):
+            x, cur = carry
+            p, v = inp  # (R, 2, LANES)
+            idx0 = (cur & 3) * w + (cur >> 2)
+            win = jnp.take(
+                words, idx0[:, None] + jnp.arange(W, dtype=jnp.int32)[None],
+                mode="clip",
+            )  # (LANES, W) u32, bytes cur .. cur + 4W - 1 per lane
+
+            def inner(c2, pv):
+                x, rel = c2
+                pp, vv = pv
+                wi = (rel >> 2).astype(jnp.int32)
+                sh = (rel & 3) * 8
+                w0 = jnp.take_along_axis(win, wi[:, None], axis=1)[:, 0]
+                w1 = jnp.take_along_axis(
+                    win, jnp.minimum(wi + 1, W - 1)[:, None], axis=1
+                )[:, 0]
+                word = jnp.where(
+                    sh == 0, w0, (w0 >> sh) | (w1 << (32 - sh))
+                )
+                x, used, out = step_pair(x, word, pp, vv)
+                return (x, rel + used), out
+
+            (x, rel), out = jax.lax.scan(
+                inner, (x, jnp.zeros((LANES,), U32)), (p, v)
+            )
+            return (x, cur + rel.astype(jnp.int32)), out
+
+        pr = probs[: 2 * blocks * R * LANES].reshape(blocks, R, 2, LANES)
+        vd = valid[: 2 * blocks * R * LANES].reshape(blocks, R, 2, LANES)
+        (x, cur), bits_b = jax.lax.scan(blk_body, (x, cur), (pr, vd))
+        bits_parts.append(bits_b.reshape(-1))
+    if rem:
+        a = 2 * blocks * R * LANES
+        pr = probs[a: a + 2 * rem * LANES].reshape(rem, 2, LANES)
+        vd = valid[a: a + 2 * rem * LANES].reshape(rem, 2, LANES)
+        (x, cur), bits_r = jax.lax.scan(body, (x, cur), (pr, vd))
+        bits_parts.append(bits_r.reshape(-1))
     if tail:
         p = probs[2 * pairs * LANES:].reshape(LANES)
         v = valid[2 * pairs * LANES:].reshape(LANES)
@@ -197,10 +260,45 @@ def rans_decode_segment(states, cursors, stream, probs, valid):
             x, p, v, window(cur), jnp.zeros_like(cur, U32)
         )
         cur = cur + used.astype(jnp.int32)
-        bits = jnp.concatenate(
-            [bits, jnp.where(v, bit, False).astype(U8)]
-        )
+        bits_parts.append(jnp.where(v, bit, False).astype(U8))
+    bits = (
+        jnp.concatenate(bits_parts)
+        if bits_parts
+        else jnp.zeros((0,), U8)
+    )
     return x, cur, bits
+
+
+@jax.jit
+def rans_decode_segment(states, cursors, stream, probs, valid):
+    """Decode one segment's bits on device.
+
+    states (LANES,) u32, cursors (LANES,) i32 absolute byte positions
+    into ``stream`` (B,) u8 (zero-padded), probs (N,) float P(bit=1)
+    with N % LANES == 0, valid (N,) bool.  Returns (states', cursors',
+    bits (N,) u8) — pad symbols decode to 0.  Wire-identical to (and
+    bit-cross-tested against) the numpy twin — only the read mechanics
+    differ.
+
+    NOTE: builds the words table IN-executable — convenient for tests
+    and one-shot segments, but the table then re-stages into VMEM per
+    scan step (cost ~ stream size x steps; see build_words_table).  The
+    production codec uses rans_decode_segment_tbl with a chunk-wide
+    prebuilt table instead.
+    """
+    words, w = _words_table(stream)
+    return _decode_core(states, cursors, words, w, probs, valid)
+
+
+@jax.jit
+def rans_decode_segment_tbl(states, cursors, words, probs, valid):
+    """Decode one segment against a PREBUILT (4w,) u32 words table
+    (build_words_table) passed as an argument — the table stays in HBM
+    and decode time is independent of the stream size (30 ms for a
+    level-0 segment at an 8 MB OR a 32 MB stream vs 144/1338 ms with
+    the in-executable table)."""
+    w = words.shape[0] // 4
+    return _decode_core(states, cursors, words, w, probs, valid)
 
 
 # ------------------------------------------------------- device: encode ----

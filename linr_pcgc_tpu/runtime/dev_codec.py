@@ -425,11 +425,23 @@ def _scatter_col(occ_buf, vox_occ, bits_packed, col, vox_brick, vox_slot):
 
 
 def _probs_mode() -> str:
-    """Probability-producer selection: "fused" (one cs=8 executable,
+    """Probability-producer selection: "fused" (one cs-wide executable,
     shared by both sides — the default) or "stage" (8 x the cs=1
     `_stage_step` executable, the pre-round-4 wire).  Travels with the
     bitstream in side_info["numerics"]["probs"]; standalone decode adopts
-    the encoder's value (runtime/codec.py)."""
+    the encoder's value (runtime/codec.py).
+
+    A third design — the whole per-level stage loop INCLUDING the rANS
+    decode as ONE dual-mode lax.scan executable (cs=1, is_enc cond) —
+    was built and MEASURED AND REJECTED in round 4: launch overhead
+    through the runtime is ~0.02 ms (chained-dispatch microbench), so
+    dispatch fusion buys nothing, while cs=1 forfeits the encoder'\''s
+    halo amortization (enc level-0 probs 2.1 -> 4.0 s/chunk) and the
+    in-scan entropy decode pays the gather-cost-scales-with-operand-size
+    law on the static stream-cap operand (a level-0 segment decodes in
+    144 ms against an 8 MB stream argument vs 1338 ms against 32 MB —
+    same stream CONTENT).  The executable and the measurements live in
+    scripts/prof_dev_codec.py; docs/DESIGN.md has the numbers."""
     return os.environ.get("LINR_CODEC_PROBS", "fused")
 
 
@@ -471,8 +483,9 @@ def _transition(coords, keys, vox_occ, bits7_packed, out_bucket: int):
 
 from ..ops.rans import (  # noqa: E402
     LANES,
+    build_words_table,
     rans_compact_emissions,
-    rans_decode_segment,
+    rans_decode_segment_tbl,
     rans_encode_segment,
     rans_initial_states,
     pack_rans_blob,
@@ -495,17 +508,21 @@ def _pack_cols(col):
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 7))
-def _rans_dec_stage(states, cursors, stream, pr, vox_fr, vox_j, total,
+def _rans_dec_stage(states, cursors, words, pr, vox_fr, vox_j, total,
                     bits_acc, stage, nf):
     """Decode one stage's bits on device and lay them out for the next
     stage: (F, Bv/8) packed column (the next ``_stage_step``'s ``prev``)
     plus an (outstage, tv) accumulation buffer downloaded once per level.
+    ``words`` is the chunk-wide prebuilt stream table
+    (ops.rans.build_words_table) — as an executable ARGUMENT it stays in
+    HBM; in-executable construction re-staged it into VMEM per symbol
+    step (cost ~ stream size; see ops/rans.py).
     """
     f, bv8 = nf.shape  # nf is a (F, Bv/8) shaped zero template
     tv = pr.shape[0]
     valid = jnp.arange(tv, dtype=jnp.int32) < total
-    states, cursors, bits = rans_decode_segment(
-        states, cursors, stream, pr, valid
+    states, cursors, bits = rans_decode_segment_tbl(
+        states, cursors, words, pr, valid
     )
     col = jnp.zeros((f, bv8 * 8), jnp.uint8).at[
         jnp.where(valid, vox_fr, f), jnp.where(valid, vox_j, 0)
@@ -515,7 +532,7 @@ def _rans_dec_stage(states, cursors, stream, pr, vox_fr, vox_j, total,
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 7, 8, 9))
-def _rans_dec_stage_scatter(states, cursors, stream, pr, vox_fr, vox_j,
+def _rans_dec_stage_scatter(states, cursors, words, pr, vox_fr, vox_j,
                             total, bits_acc, occ_buf, vox_occ, stage,
                             vox_brick, vox_slot):
     """Fused-probs-mode stage round tail: rANS-decode stage ``stage``'s
@@ -532,8 +549,8 @@ def _rans_dec_stage_scatter(states, cursors, stream, pr, vox_fr, vox_j,
     cap = occ_buf.shape[0] // f
     tv = pr.shape[0]
     valid = jnp.arange(tv, dtype=jnp.int32) < total
-    states, cursors, bits = rans_decode_segment(
-        states, cursors, stream, pr, valid
+    states, cursors, bits = rans_decode_segment_tbl(
+        states, cursors, words, pr, valid
     )
     col = jnp.zeros((f, bv), jnp.uint8).at[
         jnp.where(valid, vox_fr, f), jnp.where(valid, vox_j, 0)
@@ -987,7 +1004,24 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
                 r_states, r_flat, r_offs = unpack_rans_blob(rans_chunks[ci])
                 r_st = jnp.asarray(r_states)
                 r_cur = jnp.asarray(r_offs.astype(np.int32))
-                r_stream = jnp.asarray(r_flat)
+                # pad the flat stream to a BUCKETED length: the stream is
+                # an argument of every per-level decode executable, so a
+                # raw length would recompile the whole level chain for
+                # each distinct chunk (every real GOP chunk has a unique
+                # stream length; the zero tail is never consumed — lane
+                # cursors stay within the recorded lane extents)
+                sb = bucket_size(len(r_flat))
+                r_stream = jnp.asarray(
+                    np.concatenate(
+                        [r_flat, np.zeros(sb - len(r_flat), np.uint8)]
+                    )
+                    if sb > len(r_flat)
+                    else r_flat
+                )
+                # chunk-wide words table, built ONCE in its own
+                # executable: as an ARGUMENT of the per-stage decodes it
+                # stays in HBM (see ops/rans.py build_words_table)
+                r_words = build_words_table(r_stream)
             PROF["dec_bytes_up"] += r_flat.nbytes
         base = [np.ascontiguousarray(lows[i], np.int32) for i in chunk]
         shapes = _LevelShapes(s_num, base)
@@ -1051,7 +1085,7 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
                             with _prof_sync(f"dec_rans_s{s}") as rs:
                                 (r_st, r_cur, occ_buf, vox_occ, prev,
                                  bits_acc) = _rans_dec_stage_scatter(
-                                    r_st, r_cur, r_stream, pr, geo["vox_fr"],
+                                    r_st, r_cur, r_words, pr, geo["vox_fr"],
                                     geo["vox_j"], jnp.int32(total), bits_acc,
                                     occ_buf, vox_occ, jnp.int32(stage),
                                     geo["vox_brick"], geo["vox_slot"],
@@ -1064,7 +1098,7 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
                                 geo["vox_brick"], geo["vox_slot"], geo["sel"],
                             )
                             r_st, r_cur, prev, bits_acc = _rans_dec_stage(
-                                r_st, r_cur, r_stream, pr, geo["vox_fr"],
+                                r_st, r_cur, r_words, pr, geo["vox_fr"],
                                 geo["vox_j"], jnp.int32(total), bits_acc,
                                 jnp.int32(stage),
                                 jnp.zeros((f, bv // 8), jnp.uint8),
