@@ -18,8 +18,6 @@ import time
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-
 # lift the 8 MB stack soft limit before jax initializes (cf. _pytest_early_env.py)
 try:
     import resource
@@ -45,6 +43,14 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from linr_pcgc_tpu.utils.jax_cache import setup_compilation_cache
+
+    # crash-safe persistent compile cache (copy-on-write run dir +
+    # atomic promotion): a timeout-killed bench can no longer poison
+    # the next run's cache (utils/jax_cache.py)
+    setup_compilation_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    )
     from linr_pcgc_tpu.data import synthetic_cloud, PyramidDataset
     from linr_pcgc_tpu.models import ModelConfig, init_params
     from linr_pcgc_tpu.runtime import TrainConfig, assemble_gop, adam_init, make_epoch_fn
@@ -72,14 +78,31 @@ def main():
     tc = TrainConfig()
     if backend == "sb":
         side = int(os.environ.get("BENCH_SIDE", "4"))
-        batch = assemble_gop_superbricks(pyrs, side=side)
-        arrays = batch
+        # split host build vs device upload (round-4 verdict weak #4:
+        # the combined number is unattributable through the dev tunnel)
+        host = assemble_gop_superbricks(pyrs, side=side, as_numpy=True)
+        build_s = time.time() - t0
+        t0 = time.time()
+        import dataclasses as _dc
+
+        batch = _dc.replace(
+            host,
+            nbr27=jnp.asarray(host.nbr27),
+            code=jnp.asarray(host.code),
+            occ=jnp.asarray(host.occ),
+            point_num=jnp.asarray(host.point_num),
+        )
         jax.block_until_ready(batch.occ)
-        dt = time.time() - t0
-        assembly_s = dt / n_frames
+        upload_s = time.time() - t0
+        arrays = batch
+        assembly_s = (build_s + upload_s) / n_frames
+        mb = sum(
+            a.nbytes for a in (host.nbr27, host.code, host.occ)
+        ) / 2**20
         log(
-            f"gop assembled (superbricks) in {dt:.1f}s "
-            f"({dt / n_frames:.2f} s/frame incl. upload); "
+            f"gop assembled (superbricks): host build {build_s:.1f}s "
+            f"({build_s / n_frames:.2f} s/frame) + upload {upload_s:.1f}s "
+            f"({upload_s / n_frames:.2f} s/frame, {mb:.0f} MB); "
             f"flat superbricks={batch.nbr27.shape[1]}"
         )
         sc_env = os.environ.get("BENCH_STAGE_CHUNK")
@@ -109,7 +132,8 @@ def main():
     t0 = time.time()
     params, opt, lr, k, losses = epoch_fn(params, opt, lr, k, arrays)
     np.asarray(losses)
-    log(f"epoch_fn compiled+run in {time.time()-t0:.1f}s; loss={float(np.mean(np.asarray(losses))):.4f}")
+    warmup_s = time.time() - t0
+    log(f"epoch_fn compiled+run in {warmup_s:.1f}s; loss={float(np.mean(np.asarray(losses))):.4f}")
 
     n_epochs = int(os.environ.get("BENCH_EPOCHS", "2"))
     st = time.time()
@@ -125,6 +149,10 @@ def main():
         "unit": "s/frame/epoch",
         "vs_baseline": round(BASELINE_S_PER_FRAME_EPOCH / s_per_frame_epoch, 3),
         "assembly_s_per_frame": round(assembly_s, 3),
+        # compile_s: warmup wall minus one steady epoch = XLA compile +
+        # first-dispatch overhead.  ~0 on a warm persistent cache
+        # (round-4 verdict weak #5: compile time was invisible).
+        "compile_s": round(max(warmup_s - elapsed / n_epochs, 0.0), 1),
         "final_loss": round(float(np.mean(np.asarray(losses))), 4),
     }
     # codec tail: echo the latest committed scripts/bench_codec.py artifact

@@ -138,6 +138,22 @@ def decode_standalone(args, logger) -> None:
 def run(args, logger=None) -> None:
     """The overfit/encode/decode driver (reference ``overfit_enc_dec``,
     main.py:69-119)."""
+    # Persistent XLA compile cache by default: a cold production encode
+    # pays minutes of compilation (round-4 bench: 214 s) that the second
+    # process should not repay.  Crash-safe copy-on-write view, see
+    # utils/jax_cache.py.  LINR_JAX_CACHE overrides the location;
+    # LINR_JAX_CACHE=0 disables.
+    cache_base = os.environ.get(
+        "LINR_JAX_CACHE",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "linr_pcgc_tpu", "jax"
+        ),
+    )
+    if cache_base not in ("0", "off", ""):
+        from .utils.jax_cache import setup_compilation_cache
+
+        setup_compilation_cache(cache_base)
+
     if logger is None:
         logger = logging.getLogger("linr_pcgc_tpu")
         if not logger.handlers:

@@ -60,22 +60,27 @@ class SbGopBatch:
 
 
 def assemble_gop_superbricks(
-    pyramids: list[FramePyramid], side: int = 4
+    pyramids: list[FramePyramid], side: int = 4, as_numpy: bool = False
 ) -> SbGopBatch:
     """``side`` = 4 (default, the fast path: the halo IS the conv operand)
     or 8 (coarser gather granularity; kept for comparison/testing)."""
-    return assemble_gops_superbricks([pyramids], side=side)[0]
+    return assemble_gops_superbricks([pyramids], side=side, as_numpy=as_numpy)[0]
 
 
 def assemble_gops_superbricks(
-    pyr_groups: list[list[FramePyramid]], side: int = 4
+    pyr_groups: list[list[FramePyramid]], side: int = 4,
+    as_numpy: bool = False,
 ) -> list[SbGopBatch]:
     """Assemble several GOPs with COMMON per-level buckets (one
     ``level_slices`` across all returned batches) so they can be stacked
     on a leading GOP axis and trained by ONE compiled program — the
     GOP-parallel trainer (parallel/gop_parallel.py).  Buckets are the max
     over every frame of every GOP, quantized by ``_sb_bucket`` exactly as
-    the single-GOP path."""
+    the single-GOP path.
+
+    ``as_numpy`` keeps the batch arrays host-side (no device upload) so
+    callers can time/overlap the transfer themselves (bench.py splits
+    host build vs upload per the round-4 verdict)."""
     s_num = pyr_groups[0][0].scale_num
     assert all(
         p.scale_num == s_num for grp in pyr_groups for p in grp
@@ -129,12 +134,13 @@ def assemble_gops_superbricks(
             f_nbr.append(nbr)
             f_code.append(code)
             f_occ.append(np.packbits(occ, axis=-1))
+        conv = (lambda a: a) if as_numpy else jnp.asarray
         out.append(
             SbGopBatch(
-                nbr27=jnp.asarray(np.stack(f_nbr)),
-                code=jnp.asarray(np.stack(f_code)),
-                occ=jnp.asarray(np.stack(f_occ)),
-                point_num=jnp.asarray(
+                nbr27=conv(np.stack(f_nbr)),
+                code=conv(np.stack(f_code)),
+                occ=conv(np.stack(f_occ)),
+                point_num=conv(
                     np.array([p.point_num for p in grp], np.float32)
                 ),
                 level_slices=level_slices,

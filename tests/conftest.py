@@ -29,22 +29,19 @@ jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: the test box has ONE cpu core, and the
 # trainer/codec graphs take tens of seconds each to compile — cache them
 # across test runs (jax supports the persistent cache on CPU).
-# KNOWN FAILURE MODE: a truncated/corrupt cache entry (e.g. a python
-# process killed mid-write) SEGFAULTS jax's executable deserialization
-# at cache READ time (jax_src/compilation_cache.get_executable_and_time;
-# same class as commit 33ede30).  If the suite dies with "Fatal Python
-# error: Segmentation fault" under compilation_cache.py, wipe
-# .jax_cache_cpu and rerun cold (~60 min).
-# LINR_TEST_JAX_CACHE: point a SECOND concurrent pytest at its own
-# cache dir — two processes compiling into one dir is the likeliest
-# source of the truncated entries above.
-_cache_dir = os.environ.get(
+# Crash-safety: a process killed mid-write used to leave truncated
+# entries that SEGFAULT/SIGABRT the NEXT run's deserialization (commit
+# 33ede30; round-4 suite run killed at test 113/136).  The cache is now
+# a copy-on-write per-run view with atomic promotion at clean exit —
+# a killed run can only corrupt its own orphan dir, never the shared
+# store (utils/jax_cache.py).
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+from linr_pcgc_tpu.utils.jax_cache import setup_compilation_cache  # noqa: E402
+
+_cache_base = os.environ.get(
     "LINR_TEST_JAX_CACHE",
     os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache_cpu"),
 )
-try:
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
-except Exception:
-    pass
+setup_compilation_cache(_cache_base)
