@@ -203,15 +203,37 @@ def octree_up(parent_coords: jax.Array, parent_keys: jax.Array, occupancy: jax.A
 
     Returns ``(children, child_keys, n_child)`` where ``children`` has shape
     (8 * P, 3) with valid rows compacted to the front in canonical order.
+
+    The (parent, octant) enumeration is NOT canonical (the lexicographic
+    key is not hierarchical: with equal parent x, a dx=1 child of an
+    earlier parent outranks a dx=0 child of a later one), so the sort is
+    load-bearing — do not replace it with a compaction.
     """
+    c, k, n, _ = octree_up_with_parent(parent_coords, parent_keys, occupancy)
+    return c, k, n
+
+
+def octree_up_with_parent(parent_coords: jax.Array, parent_keys: jax.Array,
+                          occupancy: jax.Array):
+    """octree_up that also returns the parent ROW INDEX of every emitted
+    child (``parent_idx``, (8P,) int32, -1 on the pad tail), carried
+    through the canonical sort as payload.  Chaining two of these gives a
+    voxel's 4^3-brick index for free (brick = grandparent by the octree
+    identity), which eliminates the codec's per-level brick-key sort
+    (ops/superbricks.dev_brickify cost discipline; round-4 verdict
+    next #2)."""
     p = parent_coords.shape[0]
     valid = (parent_keys != KEY_PAD)[:, None] & (occupancy > 0)
     offsets = jnp.asarray(OCTANT_OFFSETS)
     children = (parent_coords[:, None, :] * 2 + offsets[None, :, :]).reshape(8 * p, 3)
     ckey = coord_key(children, valid.reshape(8 * p))
-    child_keys, children = sort_rows_by_key(ckey, children)
+    pidx = jnp.broadcast_to(
+        jnp.arange(p, dtype=jnp.int32)[:, None], (p, 8)
+    ).reshape(8 * p)
+    pidx = jnp.where(valid.reshape(8 * p), pidx, -1)
+    child_keys, children, parent_idx = sort_rows_by_key(ckey, children, pidx)
     n_child = jnp.sum(valid.astype(jnp.int32))
-    return children, child_keys, n_child
+    return children, child_keys, n_child, parent_idx
 
 
 def neighbor_feature_code(coords: jax.Array, keys: jax.Array) -> jax.Array:

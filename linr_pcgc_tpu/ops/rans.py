@@ -48,15 +48,19 @@ import jax
 import jax.numpy as jnp
 
 # rANS lane count.  The scans are the codec's only sequential device
-# work (N/LANES steps per segment) and the decode step is gather-bound
-# (one stream byte-read per lane per renorm): at 128 lanes a production
-# level-0 segment (~3.7M symbols) took 28.7k steps = 181 ms/stage on
-# v5e; 1024 lanes cuts the step count 8x for a header cost of
-# LANES * 8 B = 8 KB per frame chunk (~0.1% of the wire).  Every level
-# bucket is a multiple of 1024 (data.dataset.bucket_size), so segments
-# always divide evenly.  LANES is a wire-format constant: the blob
-# header records it and the reader refuses a mismatch.
-LANES = 1024
+# work (N/LANES steps per segment) and each step is LATENCY-bound (a
+# few dozen elementwise u32 ops on a (LANES,) vector — measured
+# ~23 ms per 1M symbols at 1024 lanes, i.e. ~23 us/step regardless of
+# lane width): at 128 lanes a production level-0 segment (~3.7M
+# symbols) took 28.7k steps = 181 ms/stage on v5e; 1024 lanes cut that
+# 8x; 4096 lanes (round 5) cut the step count another 4x for a header
+# cost of LANES * 8 B = 32 KB per frame chunk (~0.7% of the wire).
+# Segment lengths must divide by LANES: the codec rounds its per-level
+# compacted-voxel bucket up to a LANES multiple (_LevelShapes.buckets;
+# pad symbols are real coded symbols at ~2e-5 bits each).  LANES is a
+# wire-format constant: the blob header records it and the reader
+# refuses a mismatch.
+LANES = 4096
 RANS_L = 1 << 23     # state lower bound (ryg rans_byte convention)
 PROB_BITS = 16
 PROB_SCALE = 1 << PROB_BITS

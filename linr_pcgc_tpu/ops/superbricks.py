@@ -622,12 +622,28 @@ def _b4_halo_sm_forward(x, nbr27):
     Fragments are contiguous slot-runs (channels minor), flattened to
     (Bb, S*px*w*C) before the gather (operand discipline), and the
     two-level concat emits halo columns in (plane*36 + group)*C + c
-    order — exactly the rows of b4_conv_weight_matrix_sm."""
+    order — exactly the rows of b4_conv_weight_matrix_sm.
+
+    Gather-op merging (round 5): the 12 edge + 8 corner fragments each
+    gather only 1-4 slots, so their 20 gather ops were pure fixed
+    overhead (~0.3-0.5 ms each regardless of size — the dominant cost of
+    every SMALL level's halo, i.e. most of the codec's per-stage probs
+    dispatches).  They now ship through ONE padded gather: fragments are
+    stacked (corners zero-padded 1 -> 4 slots) into a (20*Bb, S*4*C)
+    operand and fetched by a single take with per-direction row offsets.
+    7 gather ops per exchange instead of 26; halo VALUES are unchanged
+    (the assembly slices each direction's block back out), so the wire
+    format and the conv weight matrix are untouched."""
     bb, s, vc = x.shape
     c = vc // B4_SLOTS
     xv = x.reshape(bb, s, B4, 16, c)
 
+    smalls = [
+        d for d in _DIRS
+        if d != (0, 0, 0) and sum(v != 0 for v in d) >= 2
+    ]
     frags = {}
+    small_pieces = []
     for d in _DIRS:
         dx, dy, dz = d
         sx = _B4_X_SRC[dx]
@@ -635,10 +651,34 @@ def _b4_halo_sm_forward(x, nbr27):
         px, wd = pc.shape[2], pc.shape[3]
         if d == (0, 0, 0):
             frags[d] = pc.reshape(bb, s, px, wd * c)
+        elif d in smalls:
+            flat = pc.reshape(bb, s, px * wd * c)
+            if px * wd < 4:  # corners: pad to the uniform 4-slot row
+                flat = jnp.pad(
+                    flat, ((0, 0), (0, 0), (0, (4 - px * wd) * c))
+                )
+            small_pieces.append(flat.reshape(bb, s * 4 * c))
         else:
             flat = pc.reshape(bb, s * px * wd * c)
             g = _gather_rows(flat, nbr27[:, _DIRS.index(d)])
             frags[d] = g.reshape(bb, s, px, wd * c)
+
+    # one padded gather for all 20 small fragments
+    op = jnp.concatenate(small_pieces, axis=0)  # (20*Bb, S*4*C)
+    nbr_small = jnp.stack(
+        [nbr27[:, _DIRS.index(d)] for d in smalls], axis=0
+    )  # (20, Bb)
+    base = (jnp.arange(len(smalls), dtype=jnp.int32) * bb)[:, None]
+    idx = jnp.where(nbr_small >= 0, nbr_small + base, len(smalls) * bb)
+    g_small = jnp.take(
+        op, idx.reshape(-1), axis=0, mode="fill", fill_value=0.0
+    ).reshape(len(smalls), bb, s, 4 * c)
+    for k, d in enumerate(smalls):
+        dx, dy, dz = d
+        px = _B4_X_SRC[dx][1] - _B4_X_SRC[dx][0]
+        wd = len(_YZ_SHIP[(dy, dz)])
+        piece = g_small[k][:, :, : px * wd * c]
+        frags[d] = piece.reshape(bb, s, px, wd * c)
 
     planes = []
     for hp in range(B4_HALO):
@@ -714,6 +754,157 @@ def b4_conv_weight_matrix_sm(w):
     )
 
 
+# ------------------- direction-blocked slot-major halo (round 5, "sm3") --
+#
+# Decomposition measurements (docs/PROF_DECOMP_r05.json + prof_gather.py,
+# 81920 bricks, S=9, bf16): the 26-fragment halo costs 63.6 ms per
+# exchange and is BANDWIDTH/PASS-bound (~140 GB/s combined over ~3-4
+# passes), not gather-row-rate bound — a plain 81920-row take runs at
+# 145-190 GB/s combined regardless of row width down to ~1 KB.  The
+# extra passes in the flat-group layout are (a) the per-plane re-grouping
+# of gathered fragments (planes loop slicing axis 2 of each 4-D
+# fragment) and (b) the 4-D (Bb, S, px, wd*c) fragment materializations
+# (px <= 4 pads to 8 sublanes).  An axis-separated 3-pass halo (z as a
+# shift, then y/x gathers of extended slabs) was built and REJECTED:
+# multi-hop relays are wrong on sparse grids (a diagonal neighbor can
+# exist while every intermediate face brick is absent — measured exactly
+# the 56 edge/corner positions differing).
+#
+# The "sm3" layout instead keeps all 26 direct gathers (correct by
+# construction) and makes each gather's output BE a halo column block:
+#
+#   h = concat([g_d for d in directions])     # ext-only, 152C columns
+#   y = x @ Wc + h @ We                       # center never copied
+#
+# Every gather result reshapes (Bb, S, px*wd*c) 3-D and concatenates on
+# the minor axis — no plane re-grouping pass, no 4-D intermediates, and
+# the center block (64 of 216 columns, 30% of the halo bytes) rides the
+# matmul directly from x.  The column order is a fixed static order
+# absorbed by the conv weight matrix (b4_conv_weight_matrix_sm3 /
+# _wc_we_split) and the dw tap selection (_SEL_SM3); halo values are
+# copies, so any order is numerically exact.
+
+_IDX_D = {d: _DIRS.index(d) for d in _DIRS}
+
+# yz columns (of the 16 = y*4 + z per x-plane) that direction (dy, dz)
+# ships, in _b4_yz_cols_sm slice order
+_YZ_SHIP = {
+    (0, 0): [(y, z) for y in range(4) for z in range(4)],
+    (-1, 0): [(3, z) for z in range(4)],
+    (1, 0): [(0, z) for z in range(4)],
+    (0, -1): [(y, 3) for y in range(4)],
+    (0, 1): [(y, 0) for y in range(4)],
+    (-1, -1): [(3, 3)],
+    (-1, 1): [(3, 0)],
+    (1, -1): [(0, 3)],
+    (1, 1): [(0, 0)],
+}
+
+
+def _b4_halo_sm3_forward(x, nbr27):
+    """x (Bb, S, 64*C) slot-major -> (Bb, S, 152*C) direction-blocked
+    EXT halo (no center block; pair with the Wc/We-split matmul)."""
+    bb, s, vc = x.shape
+    c = vc // B4_SLOTS
+    xv = x.reshape(bb, s, B4, 16, c)
+
+    pieces = []
+    for d in _DIRS:
+        if d == (0, 0, 0):
+            continue
+        dx, dy, dz = d
+        sx = _B4_X_SRC[dx]
+        pc = _b4_yz_cols_sm(xv[:, :, sx[0]: sx[1]], dy, dz)
+        px, wd = pc.shape[2], pc.shape[3]
+        flat = pc.reshape(bb, s * px * wd * c)
+        g = _gather_rows(flat, nbr27[:, _IDX_D[d]])
+        pieces.append(g.reshape(bb, s, px * wd * c))
+    return jnp.concatenate(pieces, axis=2)  # (Bb, S, 152*C)
+
+
+def _sm3_spatial_map() -> np.ndarray:
+    """(216,) sm3 column -> spatial 6^3 halo position (x*36 + y*6 + z).
+
+    Columns 0..63 are the center block (own slots, x*16+y*4+z); columns
+    64..215 are the 26 direction blocks in _DIRS order, each block in
+    (x-slice ascending) x (_YZ_SHIP order).  A slot (ux, uy, uz) shipped
+    by neighbor d lands at halo coordinate h_axis = 0 if d_axis == -1,
+    5 if d_axis == +1, u_axis + 1 otherwise."""
+    cols = []
+    for v in range(B4_SLOTS):  # center
+        x, y, z = v >> 4, (v >> 2) & 3, v & 3
+        cols.append((x + 1) * 36 + (y + 1) * 6 + (z + 1))
+
+    def land(d_ax, u):
+        return 0 if d_ax == -1 else (5 if d_ax == 1 else u + 1)
+
+    for d in _DIRS:
+        if d == (0, 0, 0):
+            continue
+        dx, dy, dz = d
+        sx = _B4_X_SRC[dx]
+        for ux in range(sx[0], sx[1]):
+            for (uy, uz) in _YZ_SHIP[(dy, dz)]:
+                cols.append(
+                    land(dx, ux) * 36 + land(dy, uy) * 6 + land(dz, uz)
+                )
+    m = np.asarray(cols, np.int64)
+    assert len(m) == 216 and len(np.unique(m)) == 216
+    return m
+
+
+_SM3_SPATIAL = _sm3_spatial_map()
+
+# tap selection in sm3 column order: _SEL_STD is spatial (x*36+y*6+z)
+# ordered; permuting its halo axis by the column map re-bases it.
+# NUMPY on purpose (cached once): a jnp constant built lazily inside
+# whatever jit first calls this LEAKS that trace's tracer into the
+# global (same failure mode _slot_shift_tables documents; observed as
+# UnexpectedTracerError on the second sm3 trace).
+_SEL_SM3_NP = None
+
+
+def _sel_sm3() -> np.ndarray:
+    global _SEL_SM3_NP
+    if _SEL_SM3_NP is None:
+        _SEL_SM3_NP = np.ascontiguousarray(
+            _sub_sel_tensor()[:, :, _SM3_SPATIAL]
+        )
+    return _SEL_SM3_NP
+
+
+def b4_conv_weight_matrix_sm3(w):
+    """(..., 27, Cin, Cout) canonical kernel -> (..., 216*Cin, 64*Cout)
+    dense conv matrix in SM3 slot-major channel-minor order: rows
+    f*Cin+c with f in sm3 column order ([center 64 | ext 152], matching
+    x ++ _b4_halo_sm3_forward), cols v*Cout+o.  Consumers slice rows
+    [:64*Cin] (Wc, applied to x directly) and [64*Cin:] (We, applied to
+    the ext halo) — the center block never materializes in the halo."""
+    cin, cout = w.shape[-2], w.shape[-1]
+    lead = w.shape[:-3]
+    w2 = jnp.einsum("ksh,...kco->...chos", _sel_sm3(), w).reshape(
+        *lead, cin, B4_HALO_VOL, cout, B4_SLOTS
+    )
+    perm = tuple(range(len(lead))) + tuple(
+        len(lead) + i for i in (1, 0, 3, 2)
+    )
+    return jnp.transpose(w2, perm).reshape(
+        *lead, B4_HALO_VOL * cin, B4_SLOTS * cout
+    )
+
+
+def _halo_mode() -> str:
+    """'flat' (default): the 26-fragment round-3 halo.  'sm3': the
+    direction-blocked center-split halo — measured A/B on-chip (round 5):
+    isolated conv value_and_grad wins 4.6% (107.7 vs 112.9 ms at level-0
+    shapes) but the full trainer REGRESSES 2.8% (bench 1.262 vs
+    1.228 s/frame/epoch), so flat stays the default and sm3 remains an
+    equivalence-tested, selectable negative result (cf. the pallas conv
+    kernels, docs/PROF_CONV_r04.json).  The codec records the mode in
+    side_info numerics (both sides must build identical executables)."""
+    return os.environ.get("LINR_HALO", "flat")
+
+
 # ------------------------------- fused slot-major conv (one-gather VJP) --
 #
 # The halo exchange is gather ROW-rate bound (27 x Bb rows per pass,
@@ -761,12 +952,33 @@ def _conv_kernel_mode() -> str:
 def _b4_convsm_forward(x, w, nbr27):
     dt = x.dtype
     c, o = w.shape[-2], w.shape[-1]
-    h = jax.lax.optimization_barrier(_b4_halo_sm_forward(x, nbr27))
-    w2 = b4_conv_weight_matrix_sm(w).astype(dt)  # (S, 216*C, 64*O)
     if _conv_kernel_mode() == "pallas":
+        # the plane-blocked kernels window the flat-group halo layout
         from .pallas_conv import plane_matmul
 
+        h = jax.lax.optimization_barrier(_b4_halo_sm_forward(x, nbr27))
+        w2 = b4_conv_weight_matrix_sm(w).astype(dt)
         return plane_matmul(h, w2, c, o)
+    if _halo_mode() == "sm3":
+        h = _b4_halo_sm3_forward(x, nbr27)
+        if os.environ.get("LINR_HALO_BARRIER", "1") != "0":
+            # the ext halo has exactly ONE consumer here (the We einsum),
+            # so fusing gathers into the matmul operand read would be
+            # safe; measured on-chip it made no difference (XLA
+            # materializes the concat either way), so the barrier stays
+            # as protection against consumer-side refusion elsewhere
+            h = jax.lax.optimization_barrier(h)
+        w2 = b4_conv_weight_matrix_sm3(w).astype(dt)  # (S, 216*C, 64*O)
+        y = jnp.einsum(
+            "bsk,skn->bsn", x, w2[:, : B4_SLOTS * c, :],
+            precision=_sm_prec(dt), preferred_element_type=_sm_acc(dt),
+        ) + jnp.einsum(
+            "bsk,skn->bsn", h, w2[:, B4_SLOTS * c:, :],
+            precision=_sm_prec(dt), preferred_element_type=_sm_acc(dt),
+        )
+        return y.astype(dt)
+    h = jax.lax.optimization_barrier(_b4_halo_sm_forward(x, nbr27))
+    w2 = b4_conv_weight_matrix_sm(w).astype(dt)
     return jnp.einsum(
         "bsk,skn->bsn", h, w2,
         precision=_sm_prec(dt), preferred_element_type=_sm_acc(dt),
@@ -790,18 +1002,57 @@ def _b4_convsm_bwd(res, dy):
     bb, s, vc = x.shape
     c = vc // B4_SLOTS
     o = dy.shape[-1] // B4_SLOTS
-    g = jax.lax.optimization_barrier(
-        _b4_halo_sm_forward(dy.astype(dt), nbr27)
-    )  # (Bb, S, 216*O)
     # dx: transposed conv — flipped taps, (C, O) roles swapped
     wt_src = jnp.swapaxes(w[..., _FLIP, :, :], -1, -2)  # (S, 27, O, C)
-    wt = b4_conv_weight_matrix_sm(wt_src).astype(dt)  # (S, 216*O, 64*C)
     if _conv_kernel_mode() == "pallas":
         from .pallas_conv import plane_matmul, plane_moment
 
+        g = jax.lax.optimization_barrier(
+            _b4_halo_sm_forward(dy.astype(dt), nbr27)
+        )
+        wt = b4_conv_weight_matrix_sm(wt_src).astype(dt)
         dx = plane_matmul(g, wt, o, c)
         dw = moment_taps(plane_moment(x, g, c, o), c, o)
+    elif _halo_mode() == "sm3":
+        dyt = dy.astype(dt)
+        g = jax.lax.optimization_barrier(
+            _b4_halo_sm3_forward(dyt, nbr27)
+        )  # (Bb, S, 152*O) ext-only
+        wt = b4_conv_weight_matrix_sm3(wt_src).astype(dt)  # (S, 216*O, 64*C)
+        dx = (
+            jnp.einsum(
+                "bsj,sjm->bsm", dyt, wt[:, : B4_SLOTS * o, :],
+                precision=_sm_prec(dt), preferred_element_type=_sm_acc(dt),
+            )
+            + jnp.einsum(
+                "bsj,sjm->bsm", g, wt[:, B4_SLOTS * o:, :],
+                precision=_sm_prec(dt), preferred_element_type=_sm_acc(dt),
+            )
+        ).astype(dt)
+        # dw: center + ext moments, then the static tap selection in the
+        # sm3 column order (tap k pairs x at voxel u with dy at halo
+        # position SEL[flip(k), u, :])
+        m_cen = jnp.einsum(
+            "bsu,bsv->suv", x, dyt,
+            precision=_sm_prec(dt), preferred_element_type=jnp.float32,
+        ).reshape(s, B4_SLOTS, c, B4_SLOTS, o)
+        m_ext = jnp.einsum(
+            "bsu,bsj->suj", x, g,
+            precision=_sm_prec(dt), preferred_element_type=jnp.float32,
+        ).reshape(s, B4_SLOTS, c, B4_HALO_VOL - B4_SLOTS, o)
+        sel = _sel_sm3()[np.asarray(_FLIP)]
+        dw = jnp.einsum(
+            "kuj,sucjo->skco", sel[:, :, :B4_SLOTS],
+            m_cen.astype(jnp.float32),
+        ) + jnp.einsum(
+            "kuj,sucjo->skco", sel[:, :, B4_SLOTS:],
+            m_ext.astype(jnp.float32),
+        )
     else:
+        g = jax.lax.optimization_barrier(
+            _b4_halo_sm_forward(dy.astype(dt), nbr27)
+        )  # (Bb, S, 216*O)
+        wt = b4_conv_weight_matrix_sm(wt_src).astype(dt)  # (S, 216*O, 64*C)
         dx = jnp.einsum(
             "bsj,sjm->bsm", g, wt,
             precision=_sm_prec(dt), preferred_element_type=_sm_acc(dt),
@@ -968,12 +1219,9 @@ def dev_brickify(coords, keys, scale_idx, brick_cap: int, side: int = 4):
     search was the dominant term.  The only remaining key search is
     the 27 x brick_cap neighbor map.
     """
-    from .coords import KEY_PAD, coord_key, lookup
-    from .octree import NEIGHBOR_OFFSETS_7
+    from .coords import KEY_PAD, coord_key
 
     shift = side.bit_length() - 1
-    m = side - 1
-    slots = side**3
     nv = coords.shape[0]
     valid = keys != KEY_PAD
     bkey_all = coord_key(coords >> shift, valid)  # (Nv,)
@@ -994,6 +1242,33 @@ def dev_brickify(coords, keys, scale_idx, brick_cap: int, side: int = 4):
         .at[order]
         .set(jnp.where(sbk != KEY_PAD, rank, -1).astype(jnp.int32))
     )
+    return dev_brickify_geom(
+        coords, keys, scale_idx, brick_cap, side, bkeys, n_bricks,
+        vox_brick,
+    )
+
+
+def dev_brickify_geom(coords, keys, scale_idx, brick_cap: int, side: int,
+                      bkeys, n_bricks, vox_brick):
+    """The grid/feature/neighbor half of :func:`dev_brickify`, given the
+    brick identity (sorted unique ``bkeys`` + per-voxel ``vox_brick``).
+
+    Split out so the codec can supply the identity WITHOUT the Nv-row
+    key sort: by the octree identity, level-s 4^3 bricks ARE level-(s+2)
+    voxels (coords >> 2 twice), whose device keys the codec chain
+    already holds in canonical order, and a voxel's brick index is its
+    GRANDPARENT index — the composition of the two per-child parent maps
+    that ops.octree.octree_up_with_parent emits during the level
+    transitions.  The sort was the codec's hottest geometry phase
+    (round-4 sync attribution: 0.89 s/frame of device brickify).
+    """
+    from .coords import KEY_PAD, lookup
+    from .octree import NEIGHBOR_OFFSETS_7
+
+    shift = side.bit_length() - 1
+    m = side - 1
+    slots = side**3
+    valid = keys != KEY_PAD
     slot = (
         ((coords[:, 0] & m) << (2 * shift))
         | ((coords[:, 1] & m) << shift)

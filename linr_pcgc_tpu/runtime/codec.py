@@ -524,12 +524,13 @@ def _numerics_info() -> dict:
     arithmetic/rANS decode diverges (same discipline as CUDA numerics on
     both sides in the reference).  The probs mode is ADOPTED by the
     decoder rather than enforced (decode_gop passes it down)."""
-    from ..ops.superbricks import _conv_kernel_mode
+    from ..ops.superbricks import _conv_kernel_mode, _halo_mode
     from .dev_codec import CDT, _fused_budget_gb, _fused_cs_cap, _probs_mode
 
     info = {
         "dtype": "f32" if CDT == jnp.float32 else "bf16",
         "conv_kernel": _conv_kernel_mode(),
+        "halo": _halo_mode(),
         "probs": _probs_mode(),
     }
     if info["probs"] == "fused":
@@ -585,6 +586,9 @@ def decode_gop(
         # fused-cs HBM budget and latency cap it was derived under
         # (pre-cap fused streams ran uncapped: cap=8)
         probs_mode = enc_num.pop("probs", "stage")
+        # pre-round-5 streams predate the axis-separated halo: their
+        # executables used the 26-fragment layout
+        enc_num.setdefault("halo", "flat")
         fused_budget_gb = enc_num.pop("fused_budget_gb", None)
         fused_cs_cap = enc_num.pop("fused_cs_cap", 8)
         dec_num = {
@@ -597,7 +601,7 @@ def decode_gop(
                 f"decoder numerics {dec_num} do not match the encoder's "
                 f"{enc_num}: the probability executables would differ and "
                 "the entropy decode diverges.  Set LINR_CODEC_DTYPE / "
-                "LINR_CONV_KERNEL to the encoder's values."
+                "LINR_CONV_KERNEL / LINR_HALO to the encoder's values."
             )
 
     template = params_template(cfg)

@@ -165,6 +165,49 @@ def _brickify_level(coords, keys, counts, scale, brick_cap: int,
         return dev_brickify(c, k, scale, brick_cap, B4)
 
     out = jax.vmap(one)(coords, keys)
+    return _package_geo(out, counts, f, bv, brick_cap, tv_bucket)
+
+
+@partial(jax.jit, static_argnames=("brick_cap", "tv_bucket"))
+def _brickify_level_gp(coords, keys, counts, scale, parent1, parent2,
+                       keys_s2, brick_cap: int, tv_bucket: int):
+    """Sort-free brickify: by the octree identity, level-s bricks ARE
+    level-(s+2) voxels, so the brick keys are ``keys_s2`` (already
+    canonical on device) and a voxel's brick index is its grandparent —
+    ``parent2[parent1[v]]`` with the per-child parent maps emitted by
+    the level transitions (ops.octree.octree_up_with_parent).  Replaces
+    the Nv-row device key sort of ``_brickify_level`` (the codec's
+    hottest geometry phase, round-4 sync attribution 0.89 s/frame) with
+    two row gathers.
+
+    parent1: (F, Bv_s) level-s voxel -> level-(s+1) row (-1 on pads);
+    parent2: (F, Bv_{s+1}) level-(s+1) voxel -> level-(s+2) row;
+    keys_s2: (F, Bv_{s+2}) level-(s+2) canonical keys, KEY_PAD-padded.
+    """
+    from ..ops.superbricks import dev_brickify_geom
+
+    f, bv = keys.shape
+
+    def one(c, k, p1, p2, k2):
+        cur = k2.shape[0]
+        if cur >= brick_cap:
+            k2r = k2[:brick_cap]
+        else:
+            k2r = jnp.pad(
+                k2, (0, brick_cap - cur), constant_values=KEY_PAD
+            )
+        n_bricks = jnp.sum((k2r != KEY_PAD).astype(jnp.int32))
+        g1 = jnp.where(p1 >= 0, p1, p2.shape[0] - 1)
+        vb = jnp.where(p1 >= 0, p2[g1], -1)
+        return dev_brickify_geom(
+            c, k, scale, brick_cap, B4, k2r, n_bricks, vb
+        )
+
+    out = jax.vmap(one)(coords, keys, parent1, parent2, keys_s2)
+    return _package_geo(out, counts, f, bv, brick_cap, tv_bucket)
+
+
+def _package_geo(out, counts, f, bv, brick_cap: int, tv_bucket: int):
     nbr = out["nbr27"]  # (F, cap, 27)
     off = (jnp.arange(f, dtype=jnp.int32) * brick_cap)[:, None, None]
     nbr_flat = jnp.where(nbr >= 0, nbr + off, -1).reshape(f * brick_cap, 27)
@@ -448,25 +491,34 @@ def _probs_mode() -> str:
 @partial(jax.jit, static_argnames=("out_bucket",), donate_argnums=(2,))
 def _transition(coords, keys, vox_occ, bits7_packed, out_bucket: int):
     """Apply the last stage's bits, then octree-up to the next level's
-    bucket.  Returns (coords', keys')."""
+    bucket.  Returns (coords', keys', parent_idx) — the per-child parent
+    ROW index feeds the sort-free brickify two levels later
+    (``_brickify_level_gp``)."""
+    from ..ops.octree import octree_up_with_parent
+
     f, bv = keys.shape
     bits = unpack_bits(bits7_packed)[:, :bv].astype(jnp.uint8)
     vox_occ = vox_occ.at[:, :, 7].set(bits)
 
     def one(c, k, o):
-        ch, ck, n = octree_up(c, k, o.astype(jnp.int32))
-        return ch, ck
+        ch, ck, n, pidx = octree_up_with_parent(c, k, o.astype(jnp.int32))
+        return ch, ck, pidx
 
-    ch, ck = jax.vmap(one)(coords, keys, vox_occ)
+    ch, ck, pidx = jax.vmap(one)(coords, keys, vox_occ)
     cur = ch.shape[1]
     if cur >= out_bucket:
-        ch, ck = ch[:, :out_bucket], ck[:, :out_bucket]
+        ch, ck, pidx = (
+            ch[:, :out_bucket], ck[:, :out_bucket], pidx[:, :out_bucket]
+        )
     else:
         ch = jnp.pad(ch, ((0, 0), (0, out_bucket - cur), (0, 0)))
         ck = jnp.pad(
             ck, ((0, 0), (0, out_bucket - cur)), constant_values=KEY_PAD
         )
-    return ch, ck
+        pidx = jnp.pad(
+            pidx, ((0, 0), (0, out_bucket - cur)), constant_values=-1
+        )
+    return ch, ck, pidx
 
 
 # ------------------------------------------------- device entropy (rANS) --
@@ -531,20 +583,25 @@ def _rans_dec_stage(states, cursors, words, pr, vox_fr, vox_j, total,
     return states, cursors, _pack_cols(col), bits_acc
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 7, 8, 9))
+@partial(jax.jit, donate_argnums=(0, 1, 7, 8))
 def _rans_dec_stage_scatter(states, cursors, words, pr, vox_fr, vox_j,
-                            total, bits_acc, occ_buf, vox_occ, stage,
+                            total, bits_acc, occ_buf, stage,
                             vox_brick, vox_slot):
     """Fused-probs-mode stage round tail: rANS-decode stage ``stage``'s
     bits AND scatter them straight into occupancy column ``stage`` of the
-    brick/per-voxel buffers — the next `_fused_probs` call's context —
-    in ONE dispatch (replaces `_rans_dec_stage` + the next round's
+    brick buffer — the next `_fused_probs` call's context — in ONE
+    dispatch (replaces `_rans_dec_stage` + the next round's
     `_scatter_col`).  The probability producer stays its own executable
     (the bit-exactness boundary); this only fuses the integer tail.
 
-    Returns (states, cursors, occ_buf, vox_occ, bits7_packed, bits_acc);
-    the packed column is still emitted for the level transition's
-    stage-7 input."""
+    The per-voxel occupancy is NOT updated here (round 5): only the
+    level transition consumes it, so it is built ONCE per level from
+    ``bits_acc`` (`_vox_occ_from_bits`) — one row scatter of tv 8-byte
+    rows instead of outstage element scatters of f*bv bytes each.
+
+    Returns (states, cursors, occ_buf, bits7_packed, bits_acc); the
+    packed column is still emitted for the level transition's stage-7
+    input."""
     f, bv = vox_brick.shape
     cap = occ_buf.shape[0] // f
     tv = pr.shape[0]
@@ -563,13 +620,21 @@ def _rans_dec_stage_scatter(states, cursors, words, pr, vox_fr, vox_j,
     occ_buf = occ_buf.at[
         flat_b, jnp.broadcast_to(stage, flat_b.shape), vox_slot.reshape(-1)
     ].set(col.reshape(-1), mode="drop")
-    jv = jnp.broadcast_to(
-        jnp.arange(bv, dtype=jnp.int32)[None], (f, bv)
-    ).reshape(-1)
-    vox_occ = vox_occ.at[
-        fr.reshape(-1), jv, jnp.broadcast_to(stage, (f * bv,))
-    ].set(col.reshape(-1), mode="drop")
-    return states, cursors, occ_buf, vox_occ, _pack_cols(col), bits_acc
+    return states, cursors, occ_buf, _pack_cols(col), bits_acc
+
+
+@partial(jax.jit, static_argnames=("f", "bv"))
+def _vox_occ_from_bits(bits_acc, vox_fr, vox_j, total, f: int, bv: int):
+    """(outstage, tv) decoded bits -> (F, Bv, 8) per-voxel occupancy in
+    ONE row scatter (the level transition's input; round 5)."""
+    tv = bits_acc.shape[1]
+    valid = jnp.arange(tv, dtype=jnp.int32) < total
+    rows = bits_acc.T  # (tv, 8)
+    return (
+        jnp.zeros((f, bv, 8), jnp.uint8)
+        .at[jnp.where(valid, vox_fr, f), jnp.where(valid, vox_j, 0)]
+        .set(rows, mode="drop")
+    )
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -675,7 +740,9 @@ class _LevelShapes:
     def buckets(self, s: int):
         bv = bucket_size(max(self.n_vox[s]))
         cap = _brick_bucket(max(self.bricks(s)))
-        tv = bucket_size(sum(self.n_vox[s]))
+        # tv is also the rANS segment length: round up to a LANES
+        # multiple (pad symbols are real coded symbols at ~2e-5 bits)
+        tv = -(-bucket_size(sum(self.n_vox[s])) // LANES) * LANES
         return bv, cap, tv
 
 
@@ -756,14 +823,26 @@ def encode_chunk_probs_dev(params, cfg: ModelConfig, pyrs, keep_device=False,
 
     pending = []  # (s, prob handles, bits arrays, counts)
     t_dispatch = time.time()
+    hist_keys, hist_parent = {}, {}
     for s in range(s_num - 1, -1, -1):
         bv, cap, tv = shapes.buckets(s)
         coords, keys = _resize_coords(coords, keys, bv)
         counts = shapes.n_vox[s]
-        geo = _brickify_level(
-            coords, keys, jnp.asarray(counts, jnp.int32),
-            jnp.int32(s), cap, tv,
-        )
+        hist_keys[s] = keys
+        if s + 2 in hist_keys and s in hist_parent and s + 1 in hist_parent:
+            # sort-free brickify via the grandparent chain
+            geo = _brickify_level_gp(
+                coords, keys, jnp.asarray(counts, jnp.int32),
+                jnp.int32(s), hist_parent[s], hist_parent[s + 1],
+                hist_keys[s + 2], cap, tv,
+            )
+        else:
+            geo = _brickify_level(
+                coords, keys, jnp.asarray(counts, jnp.int32),
+                jnp.int32(s), cap, tv,
+            )
+        hist_keys.pop(s + 3, None)
+        hist_parent.pop(s + 2, None)
         xg = _dev_ctx(params, cfg, geo["code"], geo["nbr27"], jnp.int32(s))
         occ_buf, vox_occ = _zero_buffers(f, cap, bv)
         stage_bits = [
@@ -813,10 +892,11 @@ def encode_chunk_probs_dev(params, cfg: ModelConfig, pyrs, keep_device=False,
                 # context
                 prev = cols[stage]
         if s > 0:
-            coords, keys = _transition(
+            coords, keys, pidx = _transition(
                 coords, keys, vox_occ, cols[cfg.outstage - 1],
                 bucket_size(max(shapes.n_vox[s - 1])),
             )
+            hist_parent[s - 1] = pidx
         if keep_device:
             # retain only the slim per-voxel maps for the rANS sweep —
             # NOT the whole geo dict (code/nbr27 are the big int32
@@ -1044,17 +1124,32 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
         # occupancies not yet applied to ``cur_coords``
         cur_coords = list(base)
         pending_up = None
+        hist_keys, hist_parent = {}, {}
         for s in range(s_num - 1, -1, -1):
             bv, cap, tv = shapes.buckets(s)
             coords, keys = _resize_coords(coords, keys, bv)
             counts = shapes.n_vox[s]
+            hist_keys[s] = keys
             with _prof("dec_geom"):
                 with _prof_sync(f"dec_brickify_s{s}") as bs:
-                    geo = _brickify_level(
-                        coords, keys, jnp.asarray(counts, jnp.int32),
-                        jnp.int32(s), cap, tv,
-                    )
+                    if (
+                        s + 2 in hist_keys
+                        and s in hist_parent
+                        and s + 1 in hist_parent
+                    ):
+                        geo = _brickify_level_gp(
+                            coords, keys, jnp.asarray(counts, jnp.int32),
+                            jnp.int32(s), hist_parent[s],
+                            hist_parent[s + 1], hist_keys[s + 2], cap, tv,
+                        )
+                    else:
+                        geo = _brickify_level(
+                            coords, keys, jnp.asarray(counts, jnp.int32),
+                            jnp.int32(s), cap, tv,
+                        )
                     bs.arr = geo["nbr27"]
+                hist_keys.pop(s + 3, None)
+                hist_parent.pop(s + 2, None)
                 with _prof_sync(f"dec_xg_s{s}") as xs:
                     xg = _dev_ctx(
                         params, cfg, geo["code"], geo["nbr27"], jnp.int32(s)
@@ -1083,11 +1178,11 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
                                 )[stage - b0]
                                 ps.arr = pr
                             with _prof_sync(f"dec_rans_s{s}") as rs:
-                                (r_st, r_cur, occ_buf, vox_occ, prev,
+                                (r_st, r_cur, occ_buf, prev,
                                  bits_acc) = _rans_dec_stage_scatter(
                                     r_st, r_cur, r_words, pr, geo["vox_fr"],
                                     geo["vox_j"], jnp.int32(total), bits_acc,
-                                    occ_buf, vox_occ, jnp.int32(stage),
+                                    occ_buf, jnp.int32(stage),
                                     geo["vox_brick"], geo["vox_slot"],
                                 )
                                 rs.arr = prev
@@ -1182,14 +1277,23 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
                         shapes.set_top_coords(s - 1, cur_coords)
                     if rans_chunks is not None:
                         last = prev  # stage-7 column, already on device
+                        if mode == "fused":
+                            # per-voxel occupancy built ONCE per level
+                            # from the accumulated decoded bits (the
+                            # per-stage scatters were dropped, round 5)
+                            vox_occ = _vox_occ_from_bits(
+                                bits_acc, geo["vox_fr"], geo["vox_j"],
+                                jnp.int32(total), f, bv,
+                            )
                     else:
                         last = _pack_bits_frames(
                             [occ_host[i][:, 7] for i in range(f)], bv
                         )
-                    coords, keys = _transition(
+                    coords, keys, pidx = _transition(
                         coords, keys, vox_occ, last,
                         bucket_size(max(shapes.n_vox[s - 1])),
                     )
+                    hist_parent[s - 1] = pidx
 
         # host reconstruction from decoded bits (no coordinate download)
         with _prof("dec_rebuild"):
