@@ -504,15 +504,18 @@ def sb_x_glob(params, cfg: ModelConfig, geom, level_slices):
 
 
 def sb_chunk_logits(params, cfg: ModelConfig, geom, occ_t, base, cs: int,
-                    x_glob):
+                    x_glob, first: bool = False):
     """Logits (Bb, cs, slots) for the ``cs`` stages starting at traced
     index ``base``, given a precomputed ``x_glob``.
 
     Uniform shapes for every chunk (so ONE compiled graph serves all
     chunk positions): stage j's context block is indexed clip(j-1, 0) and
-    its output is multiplied by [j > 0] — stage 0 wastes one context
-    evaluation (~1/8 of context work) to avoid a shape-changing branch,
-    exactly the trick of network.stage_context_traced.  The occupancy
+    its output is multiplied by [j > 0], exactly the trick of
+    network.stage_context_traced.  ``first=True`` (STATIC) specializes
+    the base==0 chunk: stage 0's context is x_glob alone
+    (upsample.py:204-214), so its gated-to-zero context row is simply
+    NOT COMPUTED — the block runs cs-1 rows instead of cs (round-5:
+    that row was ~1/cs of every first-chunk block conv).  The occupancy
     masking (channel c visible iff c < stage) keeps encoder ground truth
     and decoder partial buffers bit-identical — this is also the codec's
     per-stage executable.
@@ -522,22 +525,34 @@ def sb_chunk_logits(params, cfg: ModelConfig, geom, occ_t, base, cs: int,
     sm = geom["code"].shape[-1] == B4_SLOTS
     occ_f = occ_t.astype(dt)
     rows = base + jnp.arange(cs)  # traced stage indices
+    crows = rows[1:] if first else rows  # rows with a real context block
     occ7 = occ_f[:, :k, :]
-    tri = (rows[:, None] > jnp.arange(k)[None, :]).astype(dt)
+    tri = (crows[:, None] > jnp.arange(k)[None, :]).astype(dt)
     occ_b = _occ_context_input(occ7, tri, geom, sm)
 
     st = stack_outer_blocks(params, cfg)
-    idx = jnp.clip(rows - 1, 0)
+    idx = jnp.clip(crows - 1, 0)
     tk = lambda a: jnp.take(a, idx, axis=0)
     outer = {
         "conv_in": {"w": tk(st["conv_in_w"]), "b": tk(st["conv_in_b"])},
         "irn": jax.tree_util.tree_map(tk, st["irn"]),
         "conv_out": jax.tree_util.tree_map(tk, st["conv_out"]),
     }
-    ctx = _sb_block(occ_b, geom, outer)  # (Bb, cs, ch, slots) / (Bb, cs, slots*ch)
-    gate = (rows > 0).astype(dt)
-    gate = gate[None, :, None] if ctx.ndim == 3 else gate[None, :, None, None]
-    ctx_full = x_glob + gate * ctx
+    if first and cs == 1:
+        # the whole chunk is stage 0: no context block at all
+        ctx_full = x_glob
+    elif first:
+        ctx = _sb_block(occ_b, geom, outer)  # (Bb, cs-1, ...)
+        # stage 0 = x_glob alone; no gate needed (every crow is real)
+        ctx_full = jnp.concatenate([x_glob, x_glob + ctx], axis=1)
+    else:
+        ctx = _sb_block(occ_b, geom, outer)  # (Bb, cs, ...)
+        gate = (rows > 0).astype(dt)
+        gate = (
+            gate[None, :, None] if ctx.ndim == 3
+            else gate[None, :, None, None]
+        )
+        ctx_full = x_glob + gate * ctx
 
     tr = lambda a: jnp.take(a, rows, axis=0)
     h = sbconv3(ctx_full, geom, tr(params["prune"]["w"]), tr(params["prune"]["b"]))
@@ -551,7 +566,7 @@ def sb_chunk_logits(params, cfg: ModelConfig, geom, occ_t, base, cs: int,
 
 
 def sb_fused_chunk_logits(params, cfg: ModelConfig, geom, occ_t, base,
-                          cs: int, level_slices):
+                          cs: int, level_slices, first: bool = False):
     """Logits (Bb, cs, slots) for ``cs`` stages starting at traced index
     ``base`` — block_in FUSED into the stage-batched context pass.
 
@@ -576,22 +591,27 @@ def sb_fused_chunk_logits(params, cfg: ModelConfig, geom, occ_t, base,
     ch = cfg.ch
     sm = geom["code"].shape[-1] == B4_SLOTS
     rows = base + jnp.arange(cs)
+    # first=True (STATIC): stage 0's context is x_glob alone, so its
+    # gated-to-zero context row is not computed — the block runs
+    # 1 + (cs-1) rows instead of 1 + cs (round 5)
+    crows = rows[1:] if first else rows
+    ncr = len(crows)
     occ7 = occ_t.astype(dt)[:, :k, :]
-    tri = (rows[:, None] > jnp.arange(k)[None, :]).astype(dt)
+    tri = (crows[:, None] > jnp.arange(k)[None, :]).astype(dt)
     occ_b = _occ_context_input(occ7, tri, geom, sm)
     bb = occ_b.shape[0]
     if sm:
         occ_b = jnp.pad(
-            occ_b.reshape(bb, cs, -1, k),
+            occ_b.reshape(bb, ncr, -1, k),
             ((0, 0), (0, 0), (0, 0), (0, ch - k)),
-        ).reshape(bb, cs, -1)
+        ).reshape(bb, ncr, -1)
     else:
         occ_b = jnp.pad(occ_b, ((0, 0), (0, 0), (0, ch - k), (0, 0)))
     feat = sb_input_features(params, cfg, geom, level_slices)
-    xin = jnp.concatenate([feat, occ_b], axis=1)  # (Bb, 1+cs, ...)
+    xin = jnp.concatenate([feat, occ_b], axis=1)  # (Bb, 1+ncr, ...)
 
     st = stack_outer_blocks(params, cfg)
-    idx = jnp.clip(rows - 1, 0)
+    idx = jnp.clip(crows - 1, 0)
     tk = lambda a: jnp.take(a, idx, axis=0)
     cat = lambda b_leaf, o_rows: jnp.concatenate([b_leaf[None], o_rows], 0)
     bi = params["block_in"]
@@ -608,12 +628,18 @@ def sb_fused_chunk_logits(params, cfg: ModelConfig, geom, occ_t, base,
             lambda b, o: cat(b, tk(o)), bi["conv_out"], st["conv_out"]
         ),
     }
-    out = _sb_block(xin, geom, blk)  # (Bb, 1+cs, ...)
+    out = _sb_block(xin, geom, blk)  # (Bb, 1+ncr, ...)
     x_glob = out[:, :1]
     ctx = out[:, 1:]
-    gate = (rows > 0).astype(dt)
-    gate = gate[None, :, None] if ctx.ndim == 3 else gate[None, :, None, None]
-    ctx_full = x_glob + gate * ctx
+    if first:
+        ctx_full = jnp.concatenate([x_glob, x_glob + ctx], axis=1)
+    else:
+        gate = (rows > 0).astype(dt)
+        gate = (
+            gate[None, :, None] if ctx.ndim == 3
+            else gate[None, :, None, None]
+        )
+        ctx_full = x_glob + gate * ctx
 
     tr = lambda a: jnp.take(a, rows, axis=0)
     h = sbconv3(ctx_full, geom, tr(params["prune"]["w"]), tr(params["prune"]["b"]))
@@ -627,11 +653,11 @@ def sb_fused_chunk_logits(params, cfg: ModelConfig, geom, occ_t, base,
 
 
 def sb_fused_chunk_bits(params, cfg: ModelConfig, geom, occ_t, base, cs: int,
-                        level_slices):
+                        level_slices, first: bool = False):
     """Masked sum-BCE bits of the ``cs`` stages starting at traced index
     ``base`` through the fused pass (see sb_fused_chunk_logits)."""
     logits = sb_fused_chunk_logits(
-        params, cfg, geom, occ_t, base, cs, level_slices
+        params, cfg, geom, occ_t, base, cs, level_slices, first
     ).astype(F32)
     occ = jax.lax.dynamic_slice_in_dim(occ_t, base, cs, axis=1).astype(F32)
     bce = (

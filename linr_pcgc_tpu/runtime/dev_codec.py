@@ -400,9 +400,9 @@ def _fused_cs(bb: int, cfg: ModelConfig, budget_gb: float,
     return 1
 
 
-@partial(jax.jit, static_argnames=("cfg", "cs"))
+@partial(jax.jit, static_argnames=("cfg", "cs", "first"))
 def _fused_probs(params, cfg: ModelConfig, occ_buf, code, nbr27,
-                 x_glob, sel, base, cs: int):
+                 x_glob, sel, base, cs: int, first: bool = False):
     """The SHARED stage-batched probability executable
     (probs_mode="fused"): sb_chunk_logits for the ``cs`` stages starting
     at traced ``base`` — the training forward shape.
@@ -435,7 +435,7 @@ def _fused_probs(params, cfg: ModelConfig, occ_buf, code, nbr27,
     mask = (code >= 0).astype(CDT)[:, None, None, :]
     geom = dict(nbr27=nbr27, mask=mask, code=code, dtype=CDT)
     logits = sb_chunk_logits(
-        params, cfg, geom, occ_buf.astype(CDT), base, cs, x_glob,
+        params, cfg, geom, occ_buf.astype(CDT), base, cs, x_glob, first,
     )  # (Bb, cs, slots)
     pr = jax.nn.sigmoid(logits.astype(F32))
     prs = pr.transpose(1, 0, 2).reshape(cs, -1)
@@ -874,7 +874,7 @@ def encode_chunk_probs_dev(params, cfg: ModelConfig, pyrs, keep_device=False,
                 for b0 in range(0, cfg.outstage, cs):
                     prs = _fused_probs(
                         params, cfg, occ_buf, geo["code"], geo["nbr27"], xg,
-                        geo["sel"], jnp.int32(b0), cs,
+                        geo["sel"], jnp.int32(b0), cs, b0 == 0,
                     )  # (cs, tv) f16, device
                     probs_dev.extend(prs[i] for i in range(cs))
                 ps.arr = probs_dev[-1]
@@ -1174,7 +1174,7 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
                                 pr = _fused_probs(
                                     params, cfg, occ_buf, geo["code"],
                                     geo["nbr27"], xg, geo["sel"],
-                                    jnp.int32(b0), cs,
+                                    jnp.int32(b0), cs, b0 == 0,
                                 )[stage - b0]
                                 ps.arr = pr
                             with _prof_sync(f"dec_rans_s{s}") as rs:
@@ -1236,7 +1236,7 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
                             pr = _fused_probs(
                                 params, cfg, occ_buf, geo["code"],
                                 geo["nbr27"], xg, geo["sel"],
-                                jnp.int32(b0), cs,
+                                jnp.int32(b0), cs, b0 == 0,
                             )[stage - b0]
                         else:
                             occ_buf, vox_occ, pr = _stage_step(

@@ -310,17 +310,32 @@ def make_frame_grads_sb(cfg: ModelConfig, level_slices,
             )
 
         if fused:
-            def fchunk_fn(p, sub, base):
+            def fchunk_fn(p, sub, base, _first=False):
                 return sb_fused_chunk_bits(
                     p, cfg, geom_of(sub), unpack_bits(sub["occ"]), base,
-                    cs, sub_slices,
+                    cs, sub_slices, _first,
                 )
 
             fchunk_vg = jax.value_and_grad(
                 jax.checkpoint(fchunk_fn, policy=policy)
             )
+            fchunk_vg_first = jax.value_and_grad(
+                jax.checkpoint(
+                    lambda p, sub, base: fchunk_fn(p, sub, base, True),
+                    policy=policy,
+                )
+            )
 
             def fused_fn(params, sub):
+                # chunk 0 runs a SPECIALIZED graph (first=True: stage 0's
+                # gated-to-zero context row is not computed); remaining
+                # chunk positions share one compiled graph via the scan.
+                # The barrier serializes chunk 0 before the scan (peak
+                # HBM stays one chunk's working set).
+                bits0, gp0 = fchunk_vg_first(params, sub, jnp.int32(0))
+                if n_chunks == 1:
+                    return bits0, gp0
+
                 def body(carry, base):
                     bits_a, gp_a = carry
                     bits, gp = fchunk_vg(params, sub, base)
@@ -329,13 +344,10 @@ def make_frame_grads_sb(cfg: ModelConfig, level_slices,
                         jax.tree_util.tree_map(jnp.add, gp_a, gp),
                     ), None
 
-                init = (
-                    jnp.zeros((), F32),
-                    jax.tree_util.tree_map(jnp.zeros_like, params),
-                )
+                init = jax.lax.optimization_barrier((bits0, gp0))
                 (bits, gp), _ = jax.lax.scan(
                     body, init,
-                    jnp.arange(n_chunks, dtype=jnp.int32) * cs,
+                    jnp.arange(1, n_chunks, dtype=jnp.int32) * cs,
                 )
                 return bits, gp
 
