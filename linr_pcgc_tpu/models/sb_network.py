@@ -525,6 +525,12 @@ def sb_chunk_logits(params, cfg: ModelConfig, geom, occ_t, base, cs: int,
     sm = geom["code"].shape[-1] == B4_SLOTS
     occ_f = occ_t.astype(dt)
     rows = base + jnp.arange(cs)  # traced stage indices
+    # first only pays at cs >= 3: dropping the row at cs=2 leaves an
+    # S=1 context block whose (Bb, 1, X) operands sublane-pad 8x —
+    # measured 36.4 vs 16.2 ms per stage dispatch at level-0 codec
+    # shapes (scripts/prof_probs.py).  Normalizing HERE keeps both codec
+    # sides' executables identical (first is derived from shared b0/cs).
+    first = first and cs >= 3
     crows = rows[1:] if first else rows  # rows with a real context block
     occ7 = occ_f[:, :k, :]
     tri = (crows[:, None] > jnp.arange(k)[None, :]).astype(dt)
@@ -593,7 +599,10 @@ def sb_fused_chunk_logits(params, cfg: ModelConfig, geom, occ_t, base,
     rows = base + jnp.arange(cs)
     # first=True (STATIC): stage 0's context is x_glob alone, so its
     # gated-to-zero context row is not computed — the block runs
-    # 1 + (cs-1) rows instead of 1 + cs (round 5)
+    # 1 + (cs-1) rows instead of 1 + cs (round 5).  Only pays at
+    # cs >= 3 (see sb_chunk_logits; at cs <= 2 the shrunken stage batch
+    # hits the (Bb, 1, X) sublane-padding blowup).
+    first = first and cs >= 3
     crows = rows[1:] if first else rows
     ncr = len(crows)
     occ7 = occ_t.astype(dt)[:, :k, :]

@@ -624,23 +624,23 @@ def _b4_halo_sm_forward(x, nbr27):
     two-level concat emits halo columns in (plane*36 + group)*C + c
     order — exactly the rows of b4_conv_weight_matrix_sm.
 
-    Gather-op merging (round 5): the 12 edge + 8 corner fragments each
-    gather only 1-4 slots, so their 20 gather ops were pure fixed
-    overhead (~0.3-0.5 ms each regardless of size — the dominant cost of
-    every SMALL level's halo, i.e. most of the codec's per-stage probs
-    dispatches).  They now ship through ONE padded gather: fragments are
-    stacked (corners zero-padded 1 -> 4 slots) into a (20*Bb, S*4*C)
-    operand and fetched by a single take with per-direction row offsets.
-    7 gather ops per exchange instead of 26; halo VALUES are unchanged
-    (the assembly slices each direction's block back out), so the wire
-    format and the conv weight matrix are untouched."""
+    Gather-op merging (round 5, MEASURED AND REJECTED — default off):
+    shipping the 12 edge + 8 corner fragments through ONE padded gather
+    (a (20*Bb, S*4*C) stacked operand) was built on the hypothesis that
+    their 20 gather ops were fixed overhead; measured at level-0 codec
+    shapes (cs=2) it is 2.4x SLOWER (38.7 vs 16.2 ms per probs dispatch,
+    scripts/prof_probs.py) — the major-axis operand concat costs more
+    than the small gathers it saves.  Kept env-gated
+    (LINR_HALO_MERGE=1) as a reproducible negative result; halo VALUES
+    are identical in both modes."""
     bb, s, vc = x.shape
     c = vc // B4_SLOTS
     xv = x.reshape(bb, s, B4, 16, c)
 
+    merge = os.environ.get("LINR_HALO_MERGE", "0") == "1"
     smalls = [
         d for d in _DIRS
-        if d != (0, 0, 0) and sum(v != 0 for v in d) >= 2
+        if merge and d != (0, 0, 0) and sum(v != 0 for v in d) >= 2
     ]
     frags = {}
     small_pieces = []
@@ -663,22 +663,23 @@ def _b4_halo_sm_forward(x, nbr27):
             g = _gather_rows(flat, nbr27[:, _DIRS.index(d)])
             frags[d] = g.reshape(bb, s, px, wd * c)
 
-    # one padded gather for all 20 small fragments
-    op = jnp.concatenate(small_pieces, axis=0)  # (20*Bb, S*4*C)
-    nbr_small = jnp.stack(
-        [nbr27[:, _DIRS.index(d)] for d in smalls], axis=0
-    )  # (20, Bb)
-    base = (jnp.arange(len(smalls), dtype=jnp.int32) * bb)[:, None]
-    idx = jnp.where(nbr_small >= 0, nbr_small + base, len(smalls) * bb)
-    g_small = jnp.take(
-        op, idx.reshape(-1), axis=0, mode="fill", fill_value=0.0
-    ).reshape(len(smalls), bb, s, 4 * c)
-    for k, d in enumerate(smalls):
-        dx, dy, dz = d
-        px = _B4_X_SRC[dx][1] - _B4_X_SRC[dx][0]
-        wd = len(_YZ_SHIP[(dy, dz)])
-        piece = g_small[k][:, :, : px * wd * c]
-        frags[d] = piece.reshape(bb, s, px, wd * c)
+    if smalls:
+        # one padded gather for all 20 small fragments
+        op = jnp.concatenate(small_pieces, axis=0)  # (20*Bb, S*4*C)
+        nbr_small = jnp.stack(
+            [nbr27[:, _DIRS.index(d)] for d in smalls], axis=0
+        )  # (20, Bb)
+        base = (jnp.arange(len(smalls), dtype=jnp.int32) * bb)[:, None]
+        idx = jnp.where(nbr_small >= 0, nbr_small + base, len(smalls) * bb)
+        g_small = jnp.take(
+            op, idx.reshape(-1), axis=0, mode="fill", fill_value=0.0
+        ).reshape(len(smalls), bb, s, 4 * c)
+        for k, d in enumerate(smalls):
+            dx, dy, dz = d
+            px = _B4_X_SRC[dx][1] - _B4_X_SRC[dx][0]
+            wd = len(_YZ_SHIP[(dy, dz)])
+            piece = g_small[k][:, :, : px * wd * c]
+            frags[d] = piece.reshape(bb, s, px, wd * c)
 
     planes = []
     for hp in range(B4_HALO):

@@ -135,6 +135,16 @@ def _brick_bucket(n: int) -> int:
     return _sb_bucket(n)
 
 
+def _lane_bucket(n: int) -> int:
+    """~4/octave bucket with 32-byte granularity for per-lane byte
+    capacities (encoder-local download shape; not a wire invariant)."""
+    if n <= 32:
+        return 32
+    p = 1 << (int(n - 1).bit_length() - 1)
+    step = max(32, p // 4)
+    return -(-n // step) * step
+
+
 # ------------------------------------------------------- jit executables --
 
 
@@ -974,7 +984,13 @@ def encode_gop_streams_rans(params, cfg: ModelConfig, pyramids):
         outs = []
         with _prof("enc_rans_compact"):
             for k, s in enumerate(level_order):
-                ob = bucket_size(int(lens_h[k].max()))
+                # FINE bucket for the per-lane byte capacity: the
+                # compact download is (LANES, ob), and at 4096 lanes the
+                # voxel-grade bucket (min 1024) inflated it to 4 MB per
+                # LEVEL (measured 8.4 MB/frame of tunnel download, r5);
+                # lanes are round-robin balanced so max ~ mean and a
+                # 32-granularity bucket keeps the download ~ wire-sized
+                ob = _lane_bucket(int(lens_h[k].max()))
                 _, out = rans_compact_emissions(
                     emis[s][0], emis[s][1], out_bucket=ob
                 )
