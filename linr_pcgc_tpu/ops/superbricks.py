@@ -1159,6 +1159,74 @@ b4_convsm_bm.defvjp(_b4_convsm_bm_fwd, _b4_convsm_bm_bwd)
 
 
 @functools.lru_cache(maxsize=None)
+def _slot_dir_tables(side: int, off: tuple):
+    """Static tables for reading ANY 27-offset neighbor cell in the flat
+    (Bb, slots) layout: for slot s and offset ``off``, ``tdir[s]`` is the
+    _DIRS index of the componentwise brick carry (floor-div of the
+    shifted coordinate — the neighbor CELL may cross into a different
+    brick per component), and ``perm[s]`` the neighbor's slot (wrapped
+    mod side).  Generalizes _slot_shift_tables (whose single ``crosses``
+    bool is only valid for the 6 face offsets)."""
+    shift = side.bit_length() - 1
+    m = side - 1
+    slots = side**3
+    tdir = np.zeros((slots,), np.int32)
+    perm = np.zeros((slots,), np.int32)
+    dx, dy, dz = off
+    for s in range(slots):
+        x, y, z = s >> (2 * shift), (s >> shift) & m, s & m
+        nx, ny, nz = x + dx, y + dy, z + dz
+        carry = (nx // side, ny // side, nz // side)
+        tdir[s] = _DIRS.index(carry)
+        perm[s] = ((nx & m) << (2 * shift)) | ((ny & m) << shift) | (nz & m)
+    return tdir, perm
+
+
+_DIR_CENTER = _DIRS.index((0, 0, 0))
+
+
+def dev_nbr27_from_parent(vb2, sl2, nbr27_pf2, idx_grid2, cap: int,
+                          side: int = 4):
+    """Level-s brick 27-neighbor map WITHOUT any key search: level-s
+    bricks ARE level-(s+2) voxels (octree identity), so brick i's
+    neighbor at offset d is the level-(s+2) voxel at coords2[i] + d —
+    read from level-(s+2)'s OWN brickify geometry by pure gathers:
+
+      vb2/sl2:    (Bv2,) level-(s+2) voxel -> ITS brick row / slot
+      nbr27_pf2:  (cap2, 27) level-(s+2) per-frame brick neighbor map
+      idx_grid2:  (cap2 * slots,) int32 grid of level-(s+2) voxel rows
+                  (-1 empty) — the scatter inverse of (vb2, sl2)
+
+    Replaces the 27 x cap sorted-key lookup (a (28*cap)-row bitonic sort
+    per frame per level, the dominant term of the gp brickify: 698 of
+    911 ms at level-0 chunk shapes, scripts/prof_dec_parts.py).
+    Returns (cap, 27) int32, -1 absent."""
+    slots = side**3
+    bv2 = vb2.shape[0]
+    cap2 = nbr27_pf2.shape[0]
+    valid = vb2 >= 0
+    vb2c = jnp.where(valid, vb2, 0)
+    brow = jnp.take(nbr27_pf2, vb2c, axis=0)  # (Bv2, 27)
+    cols = []
+    for d in _DIRS:
+        tdir_t, perm_t = _slot_dir_tables(side, d)
+        td = jnp.asarray(tdir_t)[sl2]   # (Bv2,)
+        pm = jnp.asarray(perm_t)[sl2]
+        tb = jnp.where(
+            td == _DIR_CENTER,
+            vb2c,
+            jnp.take_along_axis(brow, td[:, None], axis=1)[:, 0],
+        )
+        flat = jnp.where(tb >= 0, tb * slots + pm, cap2 * slots)
+        val = jnp.take(idx_grid2, flat, mode="fill", fill_value=-1)
+        cols.append(jnp.where(valid, val, -1))
+    out = jnp.stack(cols, axis=1)  # (Bv2, 27)
+    if bv2 >= cap:
+        return out[:cap]
+    return jnp.pad(out, ((0, cap - bv2), (0, 0)), constant_values=-1)
+
+
+@functools.lru_cache(maxsize=None)
 def _slot_shift_tables(side: int, off: tuple):
     """Static tables for reading a face-neighbor cell's occupancy in the
     flat (Bb, slots) layout (slot = x*s^2 + y*s + z): for output slot s,
@@ -1250,7 +1318,7 @@ def dev_brickify(coords, keys, scale_idx, brick_cap: int, side: int = 4):
 
 
 def dev_brickify_geom(coords, keys, scale_idx, brick_cap: int, side: int,
-                      bkeys, n_bricks, vox_brick):
+                      bkeys, n_bricks, vox_brick, nbr27=None):
     """The grid/feature/neighbor half of :func:`dev_brickify`, given the
     brick identity (sorted unique ``bkeys`` + per-voxel ``vox_brick``).
 
@@ -1277,16 +1345,23 @@ def dev_brickify_geom(coords, keys, scale_idx, brick_cap: int, side: int,
     ).astype(jnp.int32)
     slot = jnp.where(valid, slot, 0)
 
-    # neighbor keys by direct key arithmetic (same borrow argument as the
-    # host build_superbrick_level: borders produce keys of nonexistent
-    # bricks, so the exact-match lookup returns -1)
-    doff = jnp.asarray(
-        [(dx << 42) + (dy << 21) + dz for (dx, dy, dz) in _DIRS], jnp.int64
-    )
-    qk = jnp.where(
-        (bkeys != KEY_PAD)[:, None], bkeys[:, None] + doff[None, :], KEY_PAD
-    )
-    nbr27 = lookup(bkeys, qk)
+    if nbr27 is None:
+        # neighbor keys by direct key arithmetic (same borrow argument
+        # as the host build_superbrick_level: borders produce keys of
+        # nonexistent bricks, so the exact-match lookup returns -1).
+        # Callers with grandparent geometry pass a precomputed nbr27
+        # (dev_nbr27_from_parent) — this sorted-key lookup is a
+        # (28*cap)-row bitonic sort per frame.
+        doff = jnp.asarray(
+            [(dx << 42) + (dy << 21) + dz for (dx, dy, dz) in _DIRS],
+            jnp.int64,
+        )
+        qk = jnp.where(
+            (bkeys != KEY_PAD)[:, None],
+            bkeys[:, None] + doff[None, :],
+            KEY_PAD,
+        )
+        nbr27 = lookup(bkeys, qk)
 
     # brick-grid occupancy, then feat bits by shifted reads of it
     flat = jnp.where(valid, vox_brick * slots + slot, brick_cap * slots)

@@ -217,6 +217,44 @@ def _brickify_level_gp(coords, keys, counts, scale, parent1, parent2,
     return _package_geo(out, counts, f, bv, brick_cap, tv_bucket)
 
 
+@partial(jax.jit, static_argnames=("brick_cap", "tv_bucket"))
+def _brickify_level_gp2(coords, keys, counts, scale, parent1, parent2,
+                        keys_s2, vb2, sl2, nbr27_pf2, idx_grid2,
+                        brick_cap: int, tv_bucket: int):
+    """``_brickify_level_gp`` with the nbr27 map ALSO search-free: built
+    from the level-(s+2) brickify geometry by pure gathers
+    (ops.superbricks.dev_nbr27_from_parent) — no key search of any kind
+    remains in this level's geometry (the 27 x cap sorted lookup was
+    698 of the gp path's 911 ms at level-0 chunk shapes)."""
+    from ..ops.superbricks import dev_brickify_geom, dev_nbr27_from_parent
+
+    f, bv = keys.shape
+
+    def one(c, k, p1, p2, k2, vb2f, sl2f, nbrpf, grid):
+        cur = k2.shape[0]
+        if cur >= brick_cap:
+            k2r = k2[:brick_cap]
+        else:
+            k2r = jnp.pad(
+                k2, (0, brick_cap - cur), constant_values=KEY_PAD
+            )
+        n_bricks = jnp.sum((k2r != KEY_PAD).astype(jnp.int32))
+        g1 = jnp.where(p1 >= 0, p1, p2.shape[0] - 1)
+        vb = jnp.where(p1 >= 0, p2[g1], -1)
+        nbr27 = dev_nbr27_from_parent(
+            vb2f, sl2f, nbrpf, grid, brick_cap, B4
+        )
+        return dev_brickify_geom(
+            c, k, scale, brick_cap, B4, k2r, n_bricks, vb, nbr27
+        )
+
+    out = jax.vmap(one)(
+        coords, keys, parent1, parent2, keys_s2, vb2, sl2, nbr27_pf2,
+        idx_grid2,
+    )
+    return _package_geo(out, counts, f, bv, brick_cap, tv_bucket)
+
+
 def _package_geo(out, counts, f, bv, brick_cap: int, tv_bucket: int):
     nbr = out["nbr27"]  # (F, cap, 27)
     off = (jnp.arange(f, dtype=jnp.int32) * brick_cap)[:, None, None]
@@ -241,6 +279,26 @@ def _package_geo(out, counts, f, bv, brick_cap: int, tv_bucket: int):
         (fr * brick_cap + vb) * B4_SLOTS + vs,
         0,
     )
+    # per-frame voxel-index grid: the scatter inverse of (vox_brick,
+    # vox_slot) — consumed two levels later by dev_nbr27_from_parent
+    vbf = out["vox_brick"]  # (F, Bv)
+    vsf = out["vox_slot"]
+    jrow = jnp.broadcast_to(
+        jnp.arange(bv, dtype=jnp.int32)[None], (f, bv)
+    )
+    flat_pos = jnp.where(
+        vbf >= 0, vbf * B4_SLOTS + vsf, brick_cap * B4_SLOTS
+    )
+    idx_grid = (
+        jnp.full((f, brick_cap * B4_SLOTS), -1, jnp.int32)
+        .at[
+            jnp.broadcast_to(
+                jnp.arange(f, dtype=jnp.int32)[:, None], (f, bv)
+            ),
+            flat_pos,
+        ]
+        .set(jrow, mode="drop")
+    )
     return dict(
         code=code_flat,
         nbr27=nbr_flat,
@@ -251,6 +309,9 @@ def _package_geo(out, counts, f, bv, brick_cap: int, tv_bucket: int):
         # device entropy coder (rANS codes bits in sel order)
         vox_fr=fr,
         vox_j=j,
+        # per-frame extras for the search-free nbr27 of level s-2
+        nbr27_pf=out["nbr27"],
+        idx_grid=idx_grid,
     )
 
 
@@ -833,26 +894,31 @@ def encode_chunk_probs_dev(params, cfg: ModelConfig, pyrs, keep_device=False,
 
     pending = []  # (s, prob handles, bits arrays, counts)
     t_dispatch = time.time()
-    hist_keys, hist_parent = {}, {}
+    hist_keys, hist_parent, hist_geo = {}, {}, {}
     for s in range(s_num - 1, -1, -1):
         bv, cap, tv = shapes.buckets(s)
         coords, keys = _resize_coords(coords, keys, bv)
         counts = shapes.n_vox[s]
         hist_keys[s] = keys
         if s + 2 in hist_keys and s in hist_parent and s + 1 in hist_parent:
-            # sort-free brickify via the grandparent chain
-            geo = _brickify_level_gp(
+            # search-free brickify via the grandparent chain + grid
+            geo = _brickify_level_gp2(
                 coords, keys, jnp.asarray(counts, jnp.int32),
                 jnp.int32(s), hist_parent[s], hist_parent[s + 1],
-                hist_keys[s + 2], cap, tv,
+                hist_keys[s + 2], *hist_geo[s + 2], cap, tv,
             )
         else:
             geo = _brickify_level(
                 coords, keys, jnp.asarray(counts, jnp.int32),
                 jnp.int32(s), cap, tv,
             )
+        hist_geo[s] = (
+            geo["vox_brick"], geo["vox_slot"], geo["nbr27_pf"],
+            geo["idx_grid"],
+        )
         hist_keys.pop(s + 3, None)
         hist_parent.pop(s + 2, None)
+        hist_geo.pop(s + 3, None)
         xg = _dev_ctx(params, cfg, geo["code"], geo["nbr27"], jnp.int32(s))
         occ_buf, vox_occ = _zero_buffers(f, cap, bv)
         stage_bits = [
@@ -1140,7 +1206,7 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
         # occupancies not yet applied to ``cur_coords``
         cur_coords = list(base)
         pending_up = None
-        hist_keys, hist_parent = {}, {}
+        hist_keys, hist_parent, hist_geo = {}, {}, {}
         for s in range(s_num - 1, -1, -1):
             bv, cap, tv = shapes.buckets(s)
             coords, keys = _resize_coords(coords, keys, bv)
@@ -1153,19 +1219,25 @@ def decode_gop_streams_dev(params, cfg: ModelConfig, frame_blobs, lows,
                         and s in hist_parent
                         and s + 1 in hist_parent
                     ):
-                        geo = _brickify_level_gp(
+                        geo = _brickify_level_gp2(
                             coords, keys, jnp.asarray(counts, jnp.int32),
                             jnp.int32(s), hist_parent[s],
-                            hist_parent[s + 1], hist_keys[s + 2], cap, tv,
+                            hist_parent[s + 1], hist_keys[s + 2],
+                            *hist_geo[s + 2], cap, tv,
                         )
                     else:
                         geo = _brickify_level(
                             coords, keys, jnp.asarray(counts, jnp.int32),
                             jnp.int32(s), cap, tv,
                         )
+                    hist_geo[s] = (
+                        geo["vox_brick"], geo["vox_slot"],
+                        geo["nbr27_pf"], geo["idx_grid"],
+                    )
                     bs.arr = geo["nbr27"]
                 hist_keys.pop(s + 3, None)
                 hist_parent.pop(s + 2, None)
+                hist_geo.pop(s + 3, None)
                 with _prof_sync(f"dec_xg_s{s}") as xs:
                     xg = _dev_ctx(
                         params, cfg, geo["code"], geo["nbr27"], jnp.int32(s)

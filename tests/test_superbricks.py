@@ -527,3 +527,62 @@ def test_dev_brickify_matches_host_builder():
     )
     assert np.all(np.asarray(out["code"])[lev.n_bricks:] == -1)
     assert np.all(np.asarray(out["nbr27"])[lev.n_bricks:] == -1)
+
+
+def test_dev_nbr27_from_parent_matches_lookup():
+    """The search-free brick neighbor map (grandparent-grid gathers,
+    round 5) equals the sorted-key lookup, on real two-level geometry."""
+    import numpy as np
+    import jax.numpy as jnp
+    from linr_pcgc_tpu.ops.coords import KEY_PAD, coord_key
+    from linr_pcgc_tpu.ops.octree import np_octree_down
+    from linr_pcgc_tpu.ops.superbricks import (
+        dev_brickify,
+        dev_nbr27_from_parent,
+    )
+
+    rng = np.random.default_rng(5)
+    pts = np.unique(
+        rng.integers(0, 2**7, (20000, 3)).astype(np.int32), axis=0
+    )
+    key = (
+        (pts[:, 0].astype(np.int64) << 42)
+        | (pts[:, 1].astype(np.int64) << 21)
+        | pts[:, 2]
+    )
+    pts = pts[np.argsort(key)]
+    # level s voxels = pts; level s+2 voxels = two octree downs
+    p1, _ = np_octree_down(pts)
+    p2, _ = np_octree_down(p1)
+
+    def brickify(coords, cap):
+        n = len(coords)
+        pad = np.zeros((n + 7, 3), np.int32)
+        pad[:n] = coords
+        valid = np.zeros(len(pad), bool)
+        valid[:n] = True
+        keys = coord_key(jnp.asarray(pad), jnp.asarray(valid))
+        return dev_brickify(jnp.asarray(pad), keys, 0, cap, 4), n
+
+    cap_s = len(p2) + 9  # bricks of level s = voxels of level s+2
+    geo_s, n_s = brickify(pts, cap_s)
+    cap2 = max(64, len(p2) // 8 + 16)
+    geo_2, n_2 = brickify(p2, cap2)
+
+    # idx grid of level s+2 (the scatter inverse of its vox_brick/slot)
+    vb2 = np.asarray(geo_2["vox_brick"])
+    sl2 = np.asarray(geo_2["vox_slot"])
+    grid = np.full(cap2 * 64, -1, np.int32)
+    ok = vb2 >= 0
+    grid[vb2[ok] * 64 + sl2[ok]] = np.flatnonzero(ok)
+
+    got = np.asarray(
+        dev_nbr27_from_parent(
+            jnp.asarray(vb2), jnp.asarray(sl2),
+            jnp.asarray(np.asarray(geo_2["nbr27"])),
+            jnp.asarray(grid), cap_s, 4,
+        )
+    )
+    want = np.asarray(geo_s["nbr27"])
+    np.testing.assert_array_equal(got[: len(p2)], want[: len(p2)])
+    assert np.all(got[len(p2):] == -1)
